@@ -1,0 +1,185 @@
+"""Text feature expressions — the shared intermediates every quality rule
+builds on (SURVEY.md §4.1 "common-subexpression reuse").
+
+Each feature is defined ONCE here with two views:
+  * ``*_col(...)``  — a pyspark ``Column`` (JVM-side, whole-stage codegen;
+    no Python in the hot path), and
+  * ``*_sql(...)``  — the equivalent ANSI/DuckDB SQL fragment used by the
+    correctness oracle.
+Keeping both in one module is what guarantees the Spark plan and the DuckDB
+oracle can never drift.
+
+Tokenization contract (identical in both dialects):
+  tokens(text) = non-empty pieces of trim(text) split on /\\s+/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# stopword lexicon — small fixed English function-word list (Gopher-style
+# "must contain stop words" rule uses a tiny list; ours is pinned here and
+# mirrored verbatim into the SQL oracle).
+# ---------------------------------------------------------------------------
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "with",
+    "for", "on", "as", "at", "be", "this", "by", "are", "was",
+)
+
+
+# ---------------------------------------------------------------------------
+# tokens
+# ---------------------------------------------------------------------------
+def tokens_col(text: Column) -> Column:
+    """array<string> of non-empty whitespace-split tokens."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def tokens_sql(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim(coalesce({text}, '')), '\\s+'), "
+        "t -> len(t) > 0)"
+    )
+
+
+def n_words_col(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def n_words_sql(toks: str) -> str:
+    return f"cast(len({toks}) as bigint)"
+
+
+def n_chars_col(text: Column) -> Column:
+    return F.length(F.coalesce(text, F.lit(""))).cast("bigint")
+
+
+def n_chars_sql(text: str) -> str:
+    return f"cast(length(coalesce({text}, '')) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# mean word length  (sum(len(token)) / n_words; 0.0 for empty docs)
+# ---------------------------------------------------------------------------
+def mean_word_len_col(toks: Column) -> Column:
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_word_len_sql(toks: str) -> str:
+    return (
+        f"case when len({toks}) > 0 then "
+        f"cast(list_sum(list_transform({toks}, t -> length(t))) as double) "
+        f"/ cast(len({toks}) as double) else 0.0 end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stopword fraction (tokens lowercased, multiplicity counted)
+# ---------------------------------------------------------------------------
+def stop_count_col(toks: Column) -> Column:
+    stop = F.lit(list(STOPWORDS))  # array literal, broadcast into codegen
+    return F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
+    ).cast("bigint")
+
+
+def stop_count_sql(toks: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"cast(len(list_filter({toks}, t -> list_contains([{lst}], lower(t)))) "
+        "as bigint)"
+    )
+
+
+def stop_fraction_col(toks: Column) -> Column:
+    n = F.size(toks)
+    return F.when(
+        n > 0, stop_count_col(toks).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stop_fraction_sql(toks: str) -> str:
+    return (
+        f"case when len({toks}) > 0 then cast({stop_count_sql(toks)} as double) "
+        f"/ cast(len({toks}) as double) else 0.0 end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition: fraction of distinct tokens (low => repetitive junk)
+# ---------------------------------------------------------------------------
+def distinct_fraction_col(toks: Column) -> Column:
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(1.0))
+
+
+def distinct_fraction_sql(toks: str) -> str:
+    return (
+        f"case when len({toks}) > 0 then "
+        f"cast(len(list_distinct({toks})) as double) / cast(len({toks}) as double) "
+        "else 1.0 end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# symbol-to-word ratio: non-alphanumeric, non-space chars per word
+# ---------------------------------------------------------------------------
+SYMBOL_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def symbol_ratio_col(text: Column, toks: Column) -> Column:
+    sym = F.length(
+        F.regexp_replace(
+            F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\r]", ""
+        )
+    )
+    n = F.size(toks)
+    return F.when(n > 0, sym.cast("double") / n.cast("double")).otherwise(
+        sym.cast("double")
+    )
+
+
+def symbol_ratio_sql(text: str, toks: str) -> str:
+    sym = (
+        f"length(regexp_replace(coalesce({text}, ''), "
+        "'[A-Za-z0-9 \\t\\n\\r]', '', 'g'))"
+    )
+    return (
+        f"case when len({toks}) > 0 then cast({sym} as double) "
+        f"/ cast(len({toks}) as double) else cast({sym} as double) end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# digit fraction of characters
+# ---------------------------------------------------------------------------
+def digit_fraction_col(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_fraction_sql(text: str) -> str:
+    t = f"coalesce({text}, '')"
+    return (
+        f"case when length({t}) > 0 then "
+        f"cast(length(regexp_replace({t}, '[^0-9]', '', 'g')) as double) "
+        f"/ cast(length({t}) as double) else 0.0 end"
+    )

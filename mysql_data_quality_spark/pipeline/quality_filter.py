@@ -1,0 +1,196 @@
+"""The web-document quality-filter pipeline (BASELINE.json north rule).
+
+Compiles the whole rule registry — heuristics, langid, perplexity, PII,
+toxicity — into ONE DataFrame plan: a single scan producing feature columns,
+per-rule hit columns, ``rule_hits`` map, ``keep``, ``drop_reason`` and
+``scrubbed_text``.  This is the distributed generalization of the
+reference's ``ValidationEngine.validate_data`` loop
+(``/root/reference/src/data_quality/validators/base.py:175-212``), which ran
+validators sequentially over pandas; here Catalyst fuses all rule families
+into one whole-stage-codegen pass (SURVEY.md §4.1 "shared scan").
+
+Scale notes (100 TB design point):
+  * no shuffle in the filter itself — it is a pure map; the only exchange is
+    the optional repartition-by-hash(url) before the partitioned write;
+  * ``html`` is never referenced ⇒ Parquet column pruning drops the biggest
+    column at the scan (SURVEY.md §4.1 column pruning);
+  * all expressions are JVM Column exprs; langid/perplexity also ship as
+    Arrow pandas UDFs (`use_arrow_udfs=True`) with identical results.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.core.types import (
+    DROP_SEVERITIES,
+    RuleResult,
+    Severity,
+)
+from mysql_data_quality_spark.rules import heuristics, langid, perplexity, pii
+
+
+def annotate(
+    pages: DataFrame,
+    text_col: str = "text",
+    claimed_lang: str = "lang",
+    use_arrow_udfs: bool = False,
+) -> DataFrame:
+    """pages -> pages + features + hit_<rule> columns + keep/drop/scrub.
+
+    ``use_arrow_udfs=True`` swaps the langid / perplexity Column
+    implementations for the Arrow-batched pandas UDFs (bit-identical
+    results; see tests/test_udf_parity.py).
+    """
+    df = heuristics.with_features(pages, text_col)
+    if use_arrow_udfs:
+        df = df.withColumns(
+            {
+                "det_lang": langid.detect_pandas_udf()(F.col(text_col)),
+                "avg_logp": perplexity.avg_logprob_pandas_udf()(F.col(text_col)),
+            }
+        )
+
+    hits = heuristics.hit_cols(text_col, claimed_lang)
+    df = df.withColumns({f"hit_{name}": c for name, c in hits.items()})
+
+    severities = heuristics.all_rule_severities()
+    drop_names = sorted(
+        n for n, s in severities.items() if s in DROP_SEVERITIES
+    )
+    any_drop: Column = F.lit(False)
+    for n in drop_names:
+        any_drop = any_drop | F.col(f"hit_{n}")
+
+    # drop_reason: deterministic (sorted) comma-joined list of violated
+    # drop-severity rules; empty string when kept
+    reason_parts = [
+        F.when(F.col(f"hit_{n}"), F.lit(n)).otherwise(F.lit(None))
+        for n in drop_names
+    ]
+    drop_reason = F.array_join(
+        F.filter(F.array(*reason_parts), lambda x: x.isNotNull()), ","
+    )
+
+    rule_hits = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in sorted(severities)]),
+        F.array(*[F.col(f"hit_{n}") for n in sorted(severities)]),
+    )
+
+    return df.withColumns(
+        {
+            "keep": ~any_drop,
+            "drop_reason": drop_reason,
+            "rule_hits": rule_hits,
+            "scrubbed_text": pii.scrub_col(F.col(text_col)),
+        }
+    )
+
+
+DECISION_COLS = ("url", "keep", "drop_reason", "scrubbed_text")
+
+
+def decisions(pages: DataFrame, use_arrow_udfs: bool = False) -> DataFrame:
+    """The per-document output contract: url -> keep/drop + scrubbed text."""
+    return annotate(pages, use_arrow_udfs=use_arrow_udfs).select(*DECISION_COLS)
+
+
+# ---------------------------------------------------------------------------
+# per-run metrics (reference ValidationResult semantics, base.py:21-41)
+# ---------------------------------------------------------------------------
+
+
+def metrics(annotated: DataFrame, table_name: str = "pages") -> list[RuleResult]:
+    """One aggregation pass -> one RuleResult per rule (+ a keep-rate row).
+
+    affected_rows = number of hits; pass_rate as in the reference
+    (``validators/base.py:36-41``).  Single job: all sums in one ``agg``.
+    """
+    severities = heuristics.all_rule_severities()
+    aggs = [F.count("*").alias("_total")] + [
+        F.sum(F.col(f"hit_{n}").cast("long")).alias(n) for n in severities
+    ]
+    aggs.append(F.sum((~F.col("keep")).cast("long")).alias("_dropped"))
+    row = annotated.agg(*aggs).collect()[0].asDict()
+    total = row["_total"]
+    now = datetime.now(timezone.utc)
+
+    results = []
+    for name, sev in sorted(severities.items()):
+        affected = int(row[name] or 0)
+        results.append(
+            RuleResult(
+                rule_name=name,
+                table_name=table_name,
+                column_name="text",
+                severity=sev,
+                passed=affected == 0,
+                message=f"rule '{name}' hit {affected}/{total} documents",
+                details={"hit_count": affected},
+                timestamp=now,
+                affected_rows=affected,
+                total_rows=int(total),
+            )
+        )
+    dropped = int(row["_dropped"] or 0)
+    results.append(
+        RuleResult(
+            rule_name="keep_rate",
+            table_name=table_name,
+            column_name=None,
+            severity=Severity.INFO,
+            passed=True,
+            message=f"kept {total - dropped}/{total} documents",
+            details={"kept": total - dropped, "dropped": dropped},
+            timestamp=now,
+            affected_rows=dropped,
+            total_rows=int(total),
+        )
+    )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the identical decision query as ANSI SQL
+# ---------------------------------------------------------------------------
+
+
+def decisions_sql(pages_rel: str) -> str:
+    """Full oracle SELECT over a pages relation (table or CTE name)."""
+    hits = heuristics.hit_sqls("text", "lang")
+    severities = heuristics.all_rule_severities()
+    drop_names = sorted(
+        n for n, s in severities.items() if s in DROP_SEVERITIES
+    )
+    keep = "not (" + " or ".join(f"({hits[n]})" for n in drop_names) + ")"
+    reason = (
+        "coalesce(array_to_string(list_filter(["
+        + ", ".join(
+            f"case when {hits[n]} then '{n}' else null end" for n in drop_names
+        )
+        + "], x -> x is not null), ','), '')"
+    )
+    scrub = pii.scrub_sql("text")
+    return (
+        f"select url, {keep} as keep, {reason} as drop_reason, "
+        f"{scrub} as scrubbed_text from {pages_rel}"
+    )
+
+
+def flat_hits(pages: DataFrame) -> DataFrame:
+    """url + one boolean column per rule — the oracle-friendly flat view."""
+    ann = annotate(pages)
+    severities = heuristics.all_rule_severities()
+    cols = [F.col("url")] + [
+        F.col(f"hit_{n}").alias(f"hit_{n}") for n in sorted(severities)
+    ]
+    return ann.select(*cols)
+
+
+def flat_hits_sql(pages_rel: str) -> str:
+    hits = heuristics.hit_sqls("text", "lang")
+    cols = ", ".join(f"({hits[n]}) as hit_{n}" for n in sorted(hits))
+    return f"select url, {cols} from {pages_rel}"

@@ -1,0 +1,187 @@
+"""Gopher/C4-style heuristic quality rules as a declarative registry.
+
+Mirrors the reference's rule-registry idea
+(``/root/reference/src/data_quality/validators/base.py:77-106`` — rules are
+named, parameterized, severity-tagged, individually enable-able) but each
+rule compiles to a boolean **hit** Column over pre-computed feature columns,
+so every enabled rule is evaluated in ONE scan (SURVEY.md §7.1).
+
+Feature columns are built once by :func:`with_features` (Spark) /
+:func:`features_sql` (DuckDB oracle) from
+:mod:`mysql_data_quality_spark.functions.text`,
+:mod:`mysql_data_quality_spark.rules.langid`, and
+:mod:`mysql_data_quality_spark.rules.perplexity`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.core.types import DROP_SEVERITIES, Severity
+from mysql_data_quality_spark.functions import text as T
+from mysql_data_quality_spark.rules import langid, perplexity, pii
+
+# ---------------------------------------------------------------------------
+# feature computation (shared intermediates, computed once per document)
+# ---------------------------------------------------------------------------
+
+FEATURE_COLS = (
+    "n_words",
+    "n_chars",
+    "mean_word_len",
+    "stop_count",
+    "stop_fraction",
+    "distinct_fraction",
+    "symbol_ratio",
+    "digit_fraction",
+    "det_lang",
+    "avg_logp",
+)
+
+
+def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add all feature columns in one projection (single scan; the `_toks`
+    intermediate is a named column so Catalyst computes the split once)."""
+    t = F.col(text_col)
+    df = df.withColumn("_toks", T.tokens_col(t))
+    toks = F.col("_toks")
+    return df.withColumns(
+        {
+            "n_words": T.n_words_col(toks),
+            "n_chars": T.n_chars_col(t),
+            "mean_word_len": T.mean_word_len_col(toks),
+            "stop_count": T.stop_count_col(toks),
+            "stop_fraction": T.stop_fraction_col(toks),
+            "distinct_fraction": T.distinct_fraction_col(toks),
+            "symbol_ratio": T.symbol_ratio_col(t, toks),
+            "digit_fraction": T.digit_fraction_col(t),
+            "det_lang": langid.detect_col(toks),
+            "avg_logp": perplexity.avg_logprob_col(toks),
+        }
+    ).drop("_toks")
+
+
+def features_sql(text: str = "text") -> dict[str, str]:
+    """DuckDB fragments for the same features (toks inlined per feature —
+    the oracle runs at tiny scale, clarity over reuse)."""
+    toks = T.tokens_sql(text)
+    return {
+        "n_words": T.n_words_sql(toks),
+        "n_chars": T.n_chars_sql(text),
+        "mean_word_len": T.mean_word_len_sql(toks),
+        "stop_count": T.stop_count_sql(toks),
+        "stop_fraction": T.stop_fraction_sql(toks),
+        "distinct_fraction": T.distinct_fraction_sql(toks),
+        "symbol_ratio": T.symbol_ratio_sql(text, toks),
+        "digit_fraction": T.digit_fraction_sql(text),
+        "det_lang": langid.detect_sql(toks),
+        "avg_logp": perplexity.avg_logprob_sql(toks),
+    }
+
+
+# ---------------------------------------------------------------------------
+# rule registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HRule:
+    """One heuristic rule: hit when `feature` `op` `value` (or via custom
+    spark/sql builders for non-threshold rules)."""
+
+    name: str
+    severity: Severity
+    feature: str = ""
+    op: str = ""
+    value: float | int | str = 0
+    enabled: bool = True
+
+    def hit_col(self, claimed_lang_col: str = "lang") -> Column:
+        if self.name == "lang_mismatch":
+            return (F.col("det_lang") != F.lit(langid.UNDETERMINED)) & (
+                F.col(claimed_lang_col) != F.col("det_lang")
+            )
+        if self.name == "mean_word_length":
+            lo, hi = self.value  # type: ignore[misc]
+            c = F.col(self.feature)
+            return (c < F.lit(lo)) | (c > F.lit(hi))
+        c = F.col(self.feature)
+        return {
+            "<": c < F.lit(self.value),
+            ">": c > F.lit(self.value),
+            "==": c == F.lit(self.value),
+        }[self.op]
+
+    def hit_sql(self, feats: dict[str, str], claimed_lang: str = "lang") -> str:
+        if self.name == "lang_mismatch":
+            d = feats["det_lang"]
+            return f"(({d}) != '{langid.UNDETERMINED}' and {claimed_lang} != ({d}))"
+        if self.name == "mean_word_length":
+            lo, hi = self.value  # type: ignore[misc]
+            f = feats[self.feature]
+            return f"(({f}) < {lo!r} or ({f}) > {hi!r})"
+        f = feats[self.feature]
+        v = self.value if not isinstance(self.value, str) else f"'{self.value}'"
+        return f"(({f}) {self.op} {v})"
+
+
+#: default ruleset — thresholds pinned against the sf0.01 feature
+#: distributions so every rule has a non-trivial hit rate (see tests).
+DEFAULT_RULES: tuple[HRule, ...] = (
+    HRule("min_words", Severity.ERROR, "n_words", "<", 12),
+    HRule("max_words", Severity.ERROR, "n_words", ">", 100000),
+    HRule("mean_word_length", Severity.ERROR, "mean_word_len", "range", (2.0, 10.0)),
+    HRule("stopword_absent", Severity.ERROR, "stop_count", "<", 1),
+    HRule("repetition", Severity.ERROR, "distinct_fraction", "<", 0.3),
+    HRule("symbol_ratio", Severity.ERROR, "symbol_ratio", ">", 0.1),
+    HRule("digit_fraction", Severity.WARNING, "digit_fraction", ">", 0.2),
+    HRule("lang_undetected", Severity.ERROR, "det_lang", "==", langid.UNDETERMINED),
+    HRule("lang_mismatch", Severity.WARNING),
+    HRule("low_logprob", Severity.ERROR, "avg_logp", "<", -6.0),
+)
+
+#: PII/toxicity rules (regex find-anywhere; blocklist drops, PII annotates
+#: and is scrubbed).  Severity model per SURVEY.md §7.1.
+PII_RULES: tuple[tuple[str, Severity], ...] = (
+    ("pii_email", Severity.INFO),
+    ("pii_ipv4", Severity.INFO),
+    ("pii_phone", Severity.INFO),
+    ("toxicity_blocklist", Severity.CRITICAL),
+)
+
+
+def all_rule_severities() -> dict[str, Severity]:
+    out = {r.name: r.severity for r in DEFAULT_RULES if r.enabled}
+    out.update(dict(PII_RULES))
+    return out
+
+
+def drop_rule_names() -> tuple[str, ...]:
+    return tuple(
+        name
+        for name, sev in all_rule_severities().items()
+        if sev in DROP_SEVERITIES
+    )
+
+
+def hit_cols(text_col: str = "text", claimed_lang: str = "lang") -> dict[str, Column]:
+    """All rule-hit Columns (assumes feature columns already present)."""
+    hits: dict[str, Column] = {
+        r.name: r.hit_col(claimed_lang) for r in DEFAULT_RULES if r.enabled
+    }
+    for key, _sev in PII_RULES:
+        hits[key] = pii.hit_col(F.col(text_col), key)
+    return hits
+
+
+def hit_sqls(text: str = "text", claimed_lang: str = "lang") -> dict[str, str]:
+    feats = features_sql(text)
+    hits = {
+        r.name: r.hit_sql(feats, claimed_lang) for r in DEFAULT_RULES if r.enabled
+    }
+    for key, _sev in PII_RULES:
+        hits[key] = pii.hit_sql(text, key)
+    return hits

@@ -1,0 +1,92 @@
+"""Language identification — fastText-style, reduced to a deterministic
+in-repo marker-lexicon model (no external downloads, per BASELINE.json).
+
+Model: count occurrences of language-specific function words (markers) per
+language; detected language = argmax with a fixed tie-break order; ``und``
+when no marker matched.  This is the same shape as fastText's linear
+bag-of-features scorer with a hand-pinned weight matrix.
+
+Three equivalent implementations (tests assert equality):
+  * :func:`detect_col`      — pure Column expressions (JVM, codegen)
+  * :func:`detect_sql`      — DuckDB SQL fragment (the correctness oracle)
+  * :func:`detect_pandas_udf` — Arrow-batched pandas UDF (the production
+    surface mandated by the north rule; useful when the lexicon grows past
+    what's sensible to inline in codegen)
+
+Reference analogue: the "custom per-value validator" hook
+(``/root/reference/src/data_quality/validators/patterns.py:221-224``) —
+re-expressed batched instead of the reference's per-row Python loop
+(patterns.py:208-231).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# marker lexicons: small, collision-free (no word appears in two languages),
+# all >= 2 chars.  Tie-break = declaration order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "it", "that", "with", "this", "are", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es": ("el", "los", "es", "una", "por", "con", "para", "como", "su", "del"),
+    "fr": ("le", "les", "et", "est", "pas", "pour", "dans", "au", "ce", "vous"),
+    "it": ("il", "gli", "che", "non", "per", "sono", "della", "un", "ma", "si"),
+    "pt": ("os", "um", "uma", "não", "mais", "como", "dos", "ao", "em", "se"),
+}
+LANG_ORDER: tuple[str, ...] = tuple(LANG_MARKERS)
+UNDETERMINED = "und"
+
+
+def _score_col(toks: Column, markers: tuple[str, ...]) -> Column:
+    m = F.lit(list(markers))
+    return F.size(F.filter(toks, lambda t: F.array_contains(m, F.lower(t))))
+
+
+def detect_col(toks: Column) -> Column:
+    """Detected-language Column from a token-array Column."""
+    scores = {lang: _score_col(toks, m) for lang, m in LANG_MARKERS.items()}
+    mx = F.greatest(*scores.values())
+    expr = F.lit(UNDETERMINED)
+    # build reversed so the FIRST language in LANG_ORDER wins ties
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx > 0, expr).otherwise(F.lit(UNDETERMINED))
+
+
+def detect_sql(toks: str) -> str:
+    """DuckDB SQL fragment computing the same detected language."""
+    score = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score[lang] = f"len(list_filter({toks}, t -> list_contains([{lst}], lower(t))))"
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"when {score[lang]} = {mx} then '{lang}'" for lang in LANG_ORDER
+    )
+    return (
+        f"case when {mx} > 0 then (case {whens} else '{UNDETERMINED}' end) "
+        f"else '{UNDETERMINED}' end"
+    )
+
+
+def _detect_batch(texts: pd.Series) -> pd.Series:
+    """Batch scorer — same algorithm, for the pandas-UDF surface."""
+    out = []
+    for text in texts:
+        toks = [t.lower() for t in (text or "").split()]
+        best_lang, best_score = UNDETERMINED, 0
+        for lang in LANG_ORDER:
+            markers = set(LANG_MARKERS[lang])
+            s = sum(1 for t in toks if t in markers)
+            if s > best_score:  # strict > keeps first-declared on ties
+                best_lang, best_score = lang, s
+        out.append(best_lang if best_score > 0 else UNDETERMINED)
+    return pd.Series(out, dtype="object")
+
+
+def detect_pandas_udf() -> Column:
+    """Arrow-batched pandas UDF: text -> detected language."""
+    return pandas_udf(_detect_batch, "string")

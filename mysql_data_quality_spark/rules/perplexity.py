@@ -1,0 +1,111 @@
+"""KenLM-style language-model scoring, reduced to a deterministic in-repo
+unigram word model (no external model downloads, per BASELINE.json).
+
+Score = mean log-probability per token under a pinned word->logprob table;
+``perplexity = exp(-score)``.  The drop rule thresholds on the **mean
+log-probability** (a pure div of sums — bit-exact across engines) rather
+than on the exp'd perplexity, so the keep/drop decision can never flip on a
+last-ulp libm difference between the JVM, numpy, and DuckDB.
+
+Three equivalent implementations (tests assert equality):
+  * :func:`avg_logprob_col`  — Column expressions via ``F.aggregate``
+  * :func:`avg_logprob_sql`  — DuckDB fragment (correctness oracle)
+  * :func:`avg_logprob_pandas_udf` — Arrow-batched pandas UDF (production
+    surface; sequential per-token accumulation so the sum order matches the
+    other two paths exactly)
+
+Reference analogue: the custom-validator hook
+(``/root/reference/src/data_quality/validators/patterns.py:221-224``),
+batched instead of per-row.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Pinned unigram table: log(1/64) for listed words — a flat model over a
+# small embedded lexicon of common English + domain words.  Out-of-vocabulary
+# log-prob is log(1e-6).  Values are exact float64 literals via repr().
+_IN_VOCAB_LOGP = math.log(1.0 / 64.0)
+OOV_LOGP = math.log(1e-6)
+EMPTY_DOC_LOGP = OOV_LOGP  # an empty document scores like pure noise
+
+VOCAB: tuple[str, ...] = (
+    # function words
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "with",
+    "for", "on", "as", "at", "be", "this", "by", "are", "was", "from", "or",
+    "has", "have", "not", "but", "can", "will", "all", "we", "you", "they",
+    # common domain words (data/infra vocabulary)
+    "data", "table", "row", "column", "value", "key", "query", "join",
+    "filter", "sort", "order", "group", "merge", "hash", "scan", "batch",
+    "stream", "window", "vector", "agg", "line", "part", "customer", "spark",
+    "small", "big", "fast", "slow", "dup", "count", "sum", "index",
+)
+LOGP: dict[str, float] = {w: _IN_VOCAB_LOGP for w in VOCAB}
+
+
+def _token_logp_col(tok: Column) -> Column:
+    expr = F.lit(OOV_LOGP)
+    # single chained CASE; all vocab words share one literal so Catalyst
+    # folds this to a compact expression
+    lowered = F.lower(tok)
+    expr = F.when(
+        F.array_contains(F.lit(list(VOCAB)), lowered), F.lit(_IN_VOCAB_LOGP)
+    ).otherwise(F.lit(OOV_LOGP))
+    return expr
+
+
+def avg_logprob_col(toks: Column) -> Column:
+    """Mean token log-probability (double); EMPTY_DOC_LOGP for empty docs."""
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + _token_logp_col(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total / n.cast("double")).otherwise(
+        F.lit(EMPTY_DOC_LOGP)
+    )
+
+
+def avg_logprob_sql(toks: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in VOCAB)
+    tok_logp = (
+        f"case when list_contains([{lst}], lower(t)) "
+        f"then {_IN_VOCAB_LOGP!r} else {OOV_LOGP!r} end"
+    )
+    total = f"list_aggregate(list_transform({toks}, t -> {tok_logp}), 'sum')"
+    return (
+        f"case when len({toks}) > 0 then {total} / cast(len({toks}) as double) "
+        f"else {EMPTY_DOC_LOGP!r} end"
+    )
+
+
+def perplexity_col(avg_logprob: Column) -> Column:
+    return F.exp(-avg_logprob)
+
+
+def perplexity_sql(avg_logprob: str) -> str:
+    return f"exp(-({avg_logprob}))"
+
+
+def _avg_logprob_batch(texts: pd.Series) -> pd.Series:
+    out = []
+    for text in texts:
+        toks = (text or "").split()
+        if not toks:
+            out.append(EMPTY_DOC_LOGP)
+            continue
+        total = 0.0
+        for t in toks:  # sequential accumulation == F.aggregate order
+            total = total + LOGP.get(t.lower(), OOV_LOGP)
+        out.append(total / float(len(toks)))
+    return pd.Series(out, dtype="float64")
+
+
+def avg_logprob_pandas_udf() -> Column:
+    """Arrow-batched pandas UDF: text -> mean token log-probability."""
+    return pandas_udf(_avg_logprob_batch, "double")
