@@ -1,0 +1,166 @@
+"""Quality-filter pipeline tests: oracle parity, UDF-path parity,
+determinism across partitioning, edge-case handling, metrics, and reports
+(FIXTURES.md F0/F5/F6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from mysql_data_quality_spark.pipeline import pages as P
+from mysql_data_quality_spark.pipeline import quality_filter as QF
+from tests.conftest import SF_CORRECT
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return P.read_pages(spark, SF_CORRECT)
+
+
+def _oracle(duck, sql: str):
+    return duck.sql(
+        "with pages as (" + P.pages_cte_sql() + ") " + sql + " order by url"
+    ).df()
+
+
+class TestOracleParity:
+    def test_decisions_match_duckdb(self, spark, duck, pages):
+        dec = QF.decisions(pages).orderBy("url").toPandas()
+        oracle = _oracle(duck, QF.decisions_sql("pages"))
+        assert len(dec) == len(oracle) > 0
+        for c in dec.columns:
+            assert (dec[c].values == oracle[c].values).all(), c
+
+    def test_flat_hits_match_duckdb(self, spark, duck, pages):
+        fh = QF.flat_hits(pages).orderBy("url").toPandas()
+        oracle = _oracle(duck, QF.flat_hits_sql("pages"))
+        for c in fh.columns:
+            assert (fh[c].values == oracle[c].values).all(), c
+
+    def test_every_rule_fires_somewhere(self, spark, pages):
+        """Thresholds must be meaningful: each drop rule with a plausible
+        trigger in the corpus has at least one hit, and both keep classes
+        are populated."""
+        fh = QF.flat_hits(pages).toPandas()
+        for c in (
+            "hit_min_words", "hit_repetition", "hit_symbol_ratio",
+            "hit_stopword_absent", "hit_lang_undetected", "hit_low_logprob",
+            "hit_toxicity_blocklist", "hit_pii_email", "hit_pii_phone",
+            "hit_pii_ipv4", "hit_lang_mismatch",
+        ):
+            assert fh[c].sum() > 0, f"{c} never fires"
+        dec = QF.decisions(pages).toPandas()
+        assert 0.2 < dec["keep"].mean() < 0.95
+
+
+class TestUdfParity:
+    def test_pandas_udf_path_identical(self, spark, pages):
+        a = QF.decisions(pages, use_arrow_udfs=False).orderBy("url").toPandas()
+        b = QF.decisions(pages, use_arrow_udfs=True).orderBy("url").toPandas()
+        for c in a.columns:
+            assert (a[c].values == b[c].values).all(), c
+
+
+class TestDeterminism:
+    def test_partitioning_invariance(self, spark, pages):
+        """north rule: identical keep/drop + byte-identical scrubbed_text
+        per url regardless of parallelism/partitioning."""
+        a = QF.decisions(pages.repartition(1)).orderBy("url").toPandas()
+        b = QF.decisions(pages.repartition(13)).orderBy("url").toPandas()
+        c = QF.decisions(pages.coalesce(2)).orderBy("url").toPandas()
+        for col in a.columns:
+            assert (a[col].values == b[col].values).all()
+            assert (a[col].values == c[col].values).all()
+
+    def test_two_runs_identical(self, spark, pages):
+        a = QF.decisions(pages).orderBy("url").toPandas()
+        b = QF.decisions(pages).orderBy("url").toPandas()
+        for col in a.columns:
+            assert (a[col].values == b[col].values).all()
+
+
+class TestEdgeCases:
+    def test_weird_rows(self, spark):
+        rows = [
+            ("u1", None, None, None, "en"),
+            ("u2", None, None, "", "en"),
+            ("u3", None, None, "   \t\n  ", None),
+            ("u4", None, None, "héllo wörld ünïcode ß 文字 🙂", "de"),
+            ("u5", None, None, "the " * 50000, "en"),
+            ("u6", None, None,
+             "mail me: x@y.co or (11) 91234-5678 at 10.0.0.1 badword2", "en"),
+        ]
+        df = spark.createDataFrame(rows, PAGES_SCHEMA)
+        out = {r.url: r for r in QF.decisions(df).collect()}
+        assert not out["u1"].keep and out["u1"].scrubbed_text == ""
+        assert "min_words" in out["u2"].drop_reason
+        assert out["u3"].scrubbed_text == "   \t\n  "  # byte fidelity, no trim
+        assert out["u4"].scrubbed_text == "héllo wörld ünïcode ß 文字 🙂"
+        assert out["u5"].drop_reason == "repetition"
+        assert out["u6"].scrubbed_text == (
+            "mail me: <EMAIL> or <PHONE> at <IP> <BLOCKED>"
+        )
+        assert "toxicity_blocklist" in out["u6"].drop_reason
+
+    def test_html_never_read(self, spark, pages):
+        """Column pruning: the filter plan must not read the html column
+        (biggest I/O win at 100 TB — SURVEY.md §4.1)."""
+        plan = QF.decisions(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "html" not in plan
+
+
+class TestMetricsAndReports:
+    def test_metrics_rows(self, spark, pages):
+        ann = QF.annotate(pages)
+        res = QF.metrics(ann)
+        by_name = {r.rule_name: r for r in res}
+        assert by_name["toxicity_blocklist"].affected_rows > 0
+        assert by_name["keep_rate"].total_rows == pages.count()
+        total = by_name["keep_rate"].total_rows
+        assert all(r.total_rows == total for r in res)
+        # pass_rate property matches reference arithmetic
+        r = by_name["symbol_ratio"]
+        assert r.pass_rate == (r.total_rows - r.affected_rows) / r.total_rows * 100
+
+    def test_reports_written(self, spark, pages, tmp_path):
+        from mysql_data_quality_spark.reports import (
+            analyze_results,
+            quality_score_band,
+            top_issues,
+            write_json_report,
+            write_text_report,
+        )
+        import json
+
+        res = QF.metrics(QF.annotate(pages))
+        summary = analyze_results(res)
+        assert summary["total_checks"] == len(res)
+        assert 0 <= summary["success_rate"] <= 100
+        assert set(summary["severity_breakdown"]) <= {
+            "INFO", "WARNING", "ERROR", "CRITICAL"}
+        issues = top_issues(res)
+        assert issues == sorted(
+            issues, key=lambda r: ({"CRITICAL": 0, "ERROR": 1, "WARNING": 2,
+                                    "INFO": 3}[r.severity.value],
+                                   -r.affected_rows))
+        jp = write_json_report(res, "pages", tmp_path)
+        payload = json.loads(jp.read_text())
+        assert payload["summary"]["total_checks"] == len(res)
+        tp = write_text_report(res, "pages", tmp_path)
+        assert "DATA QUALITY SUMMARY" in tp.read_text()
+        assert quality_score_band(96) == "EXCELLENT"
+        assert quality_score_band(86) == "GOOD"
+        assert quality_score_band(71) == "FAIR"
+        assert quality_score_band(51) == "POOR"
+        assert quality_score_band(49) == "CRITICAL"
