@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quality-filter pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data operators; the driver runs each Spark
+query against the DuckDB oracle at sf0.01.
+
+Float-parity design note: every float column emitted here is the result of
+a deterministic, order-independent computation — per-row expressions with a
+fixed operation sequence, or aggregates over exact decimals — so Spark and
+DuckDB produce bit-identical doubles and no rounding fudge is needed.
 """
 
 from __future__ import annotations
@@ -12,27 +16,646 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_data_quality_spark.operators import ann, dedup, textstats
+from mysql_data_quality_spark.pipeline import pages as P
+from mysql_data_quality_spark.pipeline import quality_filter as QF
+from mysql_data_quality_spark.rules import heuristics
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.pages_from_documents(_t(spark, sf_dir, "documents"))
+
+
+_PAGES_CTE = "with pages as (" + P.pages_cte_sql() + ") "
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter decisions over the pages table."""
+    return QF.decisions(_pages(spark, "/root/testdata/sf0.001"))
+
+
+# ===========================================================================
+# quality-filter pipeline queries
+# ===========================================================================
+
+
+def _qf_decisions(spark, sf_dir):
+    return QF.decisions(_pages(spark, sf_dir))
+
+
+def _qf_flat_hits(spark, sf_dir):
+    return QF.flat_hits(_pages(spark, sf_dir))
+
+
+_FEATURES = (
+    "n_words",
+    "n_chars",
+    "mean_word_len",
+    "stop_count",
+    "stop_fraction",
+    "distinct_fraction",
+    "symbol_ratio",
+    "digit_fraction",
+    "det_lang",
+    "avg_logp",
+)
+
+
+def _qf_features(spark, sf_dir):
+    df = heuristics.with_features(_pages(spark, sf_dir))
+    return df.select("url", *_FEATURES)
+
+
+def _qf_features_sql() -> str:
+    feats = heuristics.features_sql("text")
+    cols = ", ".join(f"({feats[f]}) as {f}" for f in _FEATURES)
+    return _PAGES_CTE + f"select url, {cols} from pages"
+
+
+def _qf_rule_hit_totals(spark, sf_dir):
+    ann_df = QF.annotate(_pages(spark, sf_dir))
+    names = sorted(heuristics.all_rule_severities())
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(F.col(f"hit_{n}").cast("long")).alias(f"hits_{n}") for n in names
+    ]
+    aggs.append(F.sum((~F.col("keep")).cast("long")).alias("n_dropped"))
+    return ann_df.agg(*aggs)
+
+
+def _qf_rule_hit_totals_sql() -> str:
+    hits = heuristics.hit_sqls("text", "lang")
+    names = sorted(hits)
+    from mysql_data_quality_spark.core.types import DROP_SEVERITIES
+
+    sev = heuristics.all_rule_severities()
+    drop_names = sorted(n for n, s in sev.items() if s in DROP_SEVERITIES)
+    dropped = " or ".join(f"({hits[n]})" for n in drop_names)
+    cols = ", ".join(
+        f"sum(case when {hits[n]} then 1 else 0 end) as hits_{n}" for n in names
+    )
+    return (
+        _PAGES_CTE
+        + f"select count(*) as n_docs, {cols}, "
+        + f"sum(case when {dropped} then 1 else 0 end) as n_dropped from pages"
+    )
+
+
+def _qf_keep_by_lang(spark, sf_dir):
+    dec = QF.annotate(_pages(spark, sf_dir))
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def _qf_keep_by_lang_sql() -> str:
+    hits = heuristics.hit_sqls("text", "lang")
+    from mysql_data_quality_spark.core.types import DROP_SEVERITIES
+
+    sev = heuristics.all_rule_severities()
+    drop_names = sorted(n for n, s in sev.items() if s in DROP_SEVERITIES)
+    keep = "not (" + " or ".join(f"({hits[n]})" for n in drop_names) + ")"
+    return (
+        _PAGES_CTE
+        + "select lang, count(*) as n_docs, "
+        + f"sum(case when {keep} then 1 else 0 end) as n_kept "
+        + "from pages group by lang"
+    )
+
+
+# ===========================================================================
+# validator-family queries (completeness / duplicates / integrity / patterns)
+# ===========================================================================
+
+
+def _completeness_orders(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("total_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in df.columns
+    ]
+    return df.agg(*aggs)
+
+
+def _completeness_orders_sql() -> str:
+    cols = (
+        "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate "
+        "o_orderpriority"
+    ).split()
+    sums = ", ".join(
+        f"sum(case when {c} is null then 1 else 0 end) as nulls_{c}"
+        for c in cols
+    )
+    return f"select count(*) as total_rows, {sums} from orders"
+
+
+def _duplicates_doc_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = dedup.normalized_text_col(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(norm).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.count_distinct(norm)).alias("duplicate_count"),
+    )
+
+
+def _duplicates_doc_text_sql() -> str:
+    norm = dedup.normalized_text_sql("text")
+    return (
+        f"select count(*) as total_rows, count(distinct {norm}) as "
+        f"distinct_texts, count(*) - count(distinct {norm}) as duplicate_count "
+        "from documents"
+    )
+
+
+def _dup_value_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") > 1)
+    )
+
+
+def _composite_dup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber")).alias(
+            "distinct_keys"
+        ),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("duplicate_count"),
+    )
+
+
+def _fk_orphans_orders_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    orphans = orders.join(
+        F.broadcast(
+            customer.select(F.col("c_custkey").alias("o_custkey")).distinct()
+        ),
+        on="o_custkey",
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphaned_records"))
+
+
+def _fk_orphan_rows_lineitem_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            F.broadcast(
+                sup.select(F.col("s_suppkey").alias("l_suppkey")).distinct()
+            ),
+            on="l_suppkey",
+            how="left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _pattern_source_format(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    valid = F.trim(F.col("source").cast("string")).rlike(r"^src\d+$")
+    nullish = F.col("source").isNull() | (F.col("source").cast("string") == "")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum((~nullish & valid).cast("long")).alias("valid_count"),
+        F.sum((~nullish & ~valid).cast("long")).alias("invalid_count"),
+        F.sum(nullish.cast("long")).alias("null_count"),
+    )
+
+
+def _pattern_source_format_sql() -> str:
+    valid = "regexp_matches(trim(source), '^src[0-9]+$')"
+    nullish = "(source is null or source = '')"
+    return (
+        "select count(*) as total_rows, "
+        f"sum(case when not {nullish} and {valid} then 1 else 0 end) as valid_count, "
+        f"sum(case when not {nullish} and not {valid} then 1 else 0 end) as invalid_count, "
+        f"sum(case when {nullish} then 1 else 0 end) as null_count "
+        "from documents"
+    )
+
+
+# ===========================================================================
+# relational coverage (scan/filter/join/agg/window/top-k)
+# ===========================================================================
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q1_sql() -> str:
+    return """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+       cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                as decimal(28,4))) as double) as sum_disc_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2024-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def _q3_revenue_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q3_sql() -> str:
+    return """
+select o_orderkey, o_orderdate, o_orderpriority,
+       cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+               (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+               as decimal(28,4))) as double) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, o_orderkey asc
+limit 10
+"""
+
+
+def _q5ish_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _q5ish_sql() -> str:
+    return """
+select r_name, n_name,
+       cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+               (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+               as decimal(28,4))) as double) as revenue,
+       count(*) as n_lineitems
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, n_name
+"""
+
+
+def _events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _events_hourly_sql() -> str:
+    return """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+from events group by 1, 2
+"""
+
+
+def _user_event_ranks(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def _user_event_ranks_sql() -> str:
+    return """
+select user_id, event_id, rn from (
+  select user_id, event_id,
+         row_number() over (partition by user_id order by ts asc, event_id asc) as rn
+  from events) where rn <= 3
+"""
+
+
+def _part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count_distinct("p_type").alias("n_types"),
+        F.min(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_price"),
+        F.max(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def _part_brand_stats_sql() -> str:
+    return """
+select p_brand, count(*) as n_parts, count(distinct p_type) as n_types,
+       cast(min(cast(p_retailprice as decimal(18,2))) as double) as min_price,
+       cast(max(cast(p_retailprice as decimal(18,2))) as double) as max_price,
+       cast(sum(cast(p_retailprice as decimal(18,2))) as double) as sum_price
+from part group by p_brand
+"""
+
+
+# ===========================================================================
+# training-data operators
+# ===========================================================================
+
+
+def _dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = dedup.exact_duplicate_groups(docs, "doc_id", "text")
+    return g.select(
+        "text_md5",
+        "dup_count",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias(
+            "doc_ids"
+        ),
+    )
+
+
+def _dedup_exact_docs_sql() -> str:
+    norm = dedup.normalized_text_sql("text")
+    return f"""
+select md5({norm}) as text_md5, count(*) as dup_count,
+       array_to_string(list_sort(list(doc_id)), ',') as doc_ids
+from documents group by 1 having count(*) > 1
+"""
+
+
+def _jaccard_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.6
+    )
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.cosine_topk(emb, queries, k=10)
+
+
+def _ann_cosine_topk_sql() -> str:
+    cos = ann.cosine_sql("q.embedding", "c.embedding")
+    return f"""
+select query_id, vec_id, rank, cosine from (
+  select q.vec_id as query_id, c.vec_id as vec_id,
+         row_number() over (partition by q.vec_id
+                            order by {cos} desc, c.vec_id asc) as rank,
+         {cos} as cosine
+  from embeddings c, (select vec_id, embedding from embeddings where vec_id < 5) q
+) where rank <= 10
+"""
+
+
+def _token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.whitespace_token_count_col(F.col("text")).alias("ws_tokens"),
+        textstats.bpe_ish_token_count_col(F.col("text")).alias("bpe_tokens"),
+        textstats.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _token_counts_sql() -> str:
+    from mysql_data_quality_spark.functions import text as T
+
+    toks = T.tokens_sql("text")
+    return (
+        f"select doc_id, {T.n_words_sql(toks)} as ws_tokens, "
+        f"{textstats.bpe_ish_token_count_sql('text')} as bpe_tokens, "
+        f"{textstats.fingerprint_sql('text')} as fingerprint from documents"
+    )
+
+
+def _lang_distribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_distribution(docs)
+
+
+def _lang_distribution_sql() -> str:
+    from mysql_data_quality_spark.functions import text as T
+    from mysql_data_quality_spark.rules import langid
+
+    det = langid.detect_sql(T.tokens_sql("text"))
+    return (
+        f"select ({det}) as det_lang, count(*) as n_docs "
+        "from documents group by 1"
+    )
+
+
+def _quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    df = heuristics.with_features(docs, "text")
+    return df.select(
+        "doc_id",
+        textstats.quality_score_col(
+            F.col("stop_fraction"),
+            F.col("distinct_fraction"),
+            F.col("mean_word_len"),
+        ).alias("quality_score"),
+    )
+
+
+def _quality_scores_sql() -> str:
+    feats = heuristics.features_sql("text")
+    score = textstats.quality_score_sql(
+        feats["stop_fraction"], feats["distinct_fraction"], feats["mean_word_len"]
+    )
+    return f"select doc_id, ({score}) as quality_score from documents"
+
+
+# --- no-oracle (rows-only) entries ---------------------------------------
+
+
+def _minhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def _simhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def _qf_decisions_arrow(spark, sf_dir):
+    """Same decisions via the Arrow pandas-UDF scoring path."""
+    return QF.decisions(_pages(spark, sf_dir), use_arrow_udfs=True)
+
+
+# ===========================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # quality-filter pipeline
+        "qf_decisions": _qf_decisions,
+        "qf_decisions_arrow_udf": _qf_decisions_arrow,
+        "qf_flat_hits": _qf_flat_hits,
+        "qf_features": _qf_features,
+        "qf_rule_hit_totals": _qf_rule_hit_totals,
+        "qf_keep_by_lang": _qf_keep_by_lang,
+        # validator families
+        "completeness_orders": _completeness_orders,
+        "duplicates_doc_text": _duplicates_doc_text,
+        "dup_value_counts": _dup_value_counts,
+        "composite_dup_lineitem": _composite_dup_lineitem,
+        "fk_orphans_orders_customer": _fk_orphans_orders_customer,
+        "fk_orphan_rows_lineitem_supplier": _fk_orphan_rows_lineitem_supplier,
+        "pattern_source_format": _pattern_source_format,
+        # relational coverage
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_revenue_topk": _q3_revenue_topk,
+        "q5ish_nation_revenue": _q5ish_nation_revenue,
+        "events_hourly": _events_hourly,
+        "user_event_ranks": _user_event_ranks,
+        "part_brand_stats": _part_brand_stats,
+        # training-data operators
+        "dedup_exact_docs": _dedup_exact_docs,
+        "jaccard_pairs_docs": _jaccard_pairs_docs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "token_counts": _token_counts,
+        "lang_distribution": _lang_distribution,
+        "quality_scores": _quality_scores,
+        # rows-only (non-SQL-expressible: engine-specific hash functions)
+        "minhash_pairs_docs": _minhash_pairs_docs,
+        "simhash_pairs_docs": _simhash_pairs_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "qf_decisions": _PAGES_CTE + QF.decisions_sql("pages"),
+        "qf_decisions_arrow_udf": _PAGES_CTE + QF.decisions_sql("pages"),
+        "qf_flat_hits": _PAGES_CTE + QF.flat_hits_sql("pages"),
+        "qf_features": _qf_features_sql(),
+        "qf_rule_hit_totals": _qf_rule_hit_totals_sql(),
+        "qf_keep_by_lang": _qf_keep_by_lang_sql(),
+        "completeness_orders": _completeness_orders_sql(),
+        "duplicates_doc_text": _duplicates_doc_text_sql(),
+        "dup_value_counts": (
+            "select o_custkey, count(*) as n_orders from orders "
+            "group by o_custkey having count(*) > 1"
+        ),
+        "composite_dup_lineitem": (
+            "select count(*) as total_rows, "
+            "count(distinct (l_orderkey, l_linenumber)) as distinct_keys, "
+            "count(*) - count(distinct (l_orderkey, l_linenumber)) as duplicate_count "
+            "from lineitem"
+        ),
+        "fk_orphans_orders_customer": (
+            "select count(*) as orphaned_records from orders "
+            "where o_custkey not in (select c_custkey from customer)"
+        ),
+        "fk_orphan_rows_lineitem_supplier": (
+            "select l_suppkey, count(*) as n_rows from lineitem "
+            "where l_suppkey not in (select s_suppkey from supplier) "
+            "group by l_suppkey"
+        ),
+        "pattern_source_format": _pattern_source_format_sql(),
+        "q1_pricing_summary": _q1_sql(),
+        "q3_revenue_topk": _q3_sql(),
+        "q5ish_nation_revenue": _q5ish_sql(),
+        "events_hourly": _events_hourly_sql(),
+        "user_event_ranks": _user_event_ranks_sql(),
+        "part_brand_stats": _part_brand_stats_sql(),
+        "dedup_exact_docs": _dedup_exact_docs_sql(),
+        "jaccard_pairs_docs": dedup.shingle_jaccard_pairs_sql(
+            "documents", k=3, threshold=0.6
+        ),
+        "ann_cosine_topk": _ann_cosine_topk_sql(),
+        "token_counts": _token_counts_sql(),
+        "lang_distribution": _lang_distribution_sql(),
+        "quality_scores": _quality_scores_sql(),
+    }

@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference only counts per-column duplicates,
+``validators/duplicates.py``); these generalize that capability to
+document-level near-dup detection at 100 TB scale:
+
+  * :func:`exact_duplicate_groups` — hash groupBy (one shuffle on the hash,
+    not on the full text: docs are pre-hashed with md5 so the shuffle key is
+    32 bytes regardless of document size);
+  * :func:`shingle_jaccard_pairs` — word k-shingle Jaccard via
+    explode → self-join on shingle → pair aggregation.  Fully declarative,
+    so Catalyst handles partial aggregation; a document-frequency cap drops
+    boilerplate shingles that would otherwise create join skew (the classic
+    hot-key problem at web scale);
+  * :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH:
+    per-doc signatures from xxhash64 with k seed-salts (JVM hash, no Python),
+    banded into buckets, candidate pairs from bucket joins — the standard
+    sub-quadratic path when all-pairs Jaccard is impossible;
+  * :func:`simhash_signatures` / near-dup by Hamming distance.
+
+All are pure DataFrame ops except simhash's bit math (Arrow pandas UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Canonical normalization for exact dedup: lowercase + collapse
+    whitespace + trim.  Mirrored in SQL by ``normalized_text_sql``."""
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
+
+
+def normalized_text_sql(text: str) -> str:
+    return (
+        f"regexp_replace(lower(trim(coalesce({text}, ''))), '\\s+', ' ', 'g')"
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Groups of exact (optionally normalized) duplicate documents.
+
+    Returns (text_md5, dup_count, doc_ids sorted).  The shuffle key is the
+    md5, so 100 TB of text shuffles only ids+hashes.
+    """
+    t = F.col(text_col)
+    norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingle Jaccard (exact near-dup, all-pairs over shared shingles)
+# ---------------------------------------------------------------------------
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("doc_id"), shingle.alias("shingles"))
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All near-dup pairs with word-k-shingle Jaccard >= threshold.
+
+    Plan: shingle sets → explode → (optional hot-shingle drop) →
+    self-join on shingle → groupBy (a, b) to count the intersection →
+    Jaccard = inter / (|A| + |B| - inter).  ``max_shingle_df`` drops
+    shingles appearing in more than N docs — at web scale boilerplate
+    shingles ("click here to", navigation chrome) otherwise explode the
+    join; dropping them only *underestimates* Jaccard for boilerplate,
+    which is the desired bias.
+    """
+    sh = _shingles(df, id_col, text_col, k).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    sizes = sh.select("doc_id", "n_sh").where(F.col("n_sh") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        w = Window.partitionBy("sh")
+        ex = ex.withColumn("df", F.count("*").over(w)).where(
+            F.col("df") <= max_shingle_df
+        ).drop("df")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+    )
+    return ja
+
+
+def shingle_jaccard_pairs_sql(
+    docs_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB oracle for :func:`shingle_jaccard_pairs` (no df cap)."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim(lower(coalesce({text_col}, ''))), "
+        "'\\s+'), t -> len(t) > 0)"
+    )
+    return f"""
+with sh as (
+  select {id_col} as doc_id,
+         case when len({toks}) >= {k} then
+           list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ')
+                          for i in range(1, len({toks}) - {k} + 2)])
+         else [] end as shingles
+  from {docs_rel}
+), sizes as (
+  select doc_id, len(shingles) as n_sh from sh where len(shingles) > 0
+), ex as (
+  select doc_id, unnest(shingles) as s from sh
+), inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+  from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b, inter, sa.n_sh as n_a, sb.n_sh as n_b,
+       cast(inter as double) / (sa.n_sh + sb.n_sh - inter) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where cast(inter as double) / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (sub-quadratic candidate generation)
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  Pure JVM hash, no Python."""
+    sh = _shingles(df, id_col, text_col, k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.where(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature
+    agreement (estimate of Jaccard).
+
+    rows_per_band = num_hashes / bands; two docs collide if any band of
+    their signatures is identical.  The band join shuffles on (band_id,
+    band_hash) — short keys, uniform distribution.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(band_arr).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Hamming-distance near-dup on token-hash bit vectors)
+# ---------------------------------------------------------------------------
+def simhash_col(toks: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of a token array, pure Column math: for each bit b,
+    bit = 1 iff sum over tokens of sign(bit b of xxhash64(token)) > 0."""
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), simhash_col(toks, bits).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: join on the top ``prefix_bits`` bits (standard rotation/
+    prefix blocking; at scale run several rotations) so the self-join is
+    per-bucket, not all-pairs."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    sigs = sigs.withColumn("block", block)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, on="block")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

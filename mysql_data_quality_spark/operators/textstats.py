@@ -1,0 +1,88 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language distribution, document fingerprinting.
+
+Thin compositions over the rule-engine feature expressions
+(:mod:`mysql_data_quality_spark.functions.text`,
+:mod:`mysql_data_quality_spark.rules.langid`) — same single-scan design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.functions import text as T
+from mysql_data_quality_spark.operators.dedup import (
+    normalized_text_col,
+    normalized_text_sql,
+)
+from mysql_data_quality_spark.rules import langid
+
+#: BPE-ish subword token estimate: word-chunks plus digit runs plus
+#: punctuation, the common cheap proxy for tokenizer counts.
+BPE_ISH_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count_col(text: Column) -> Column:
+    return T.n_words_col(T.tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Count of BPE-ish subword units via regexp_count (JVM regex, one pass)."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(BPE_ISH_RE)).cast(
+        "bigint"
+    )
+
+
+def bpe_ish_token_count_sql(text: str) -> str:
+    return (
+        f"cast(len(regexp_extract_all(coalesce({text}, ''), "
+        f"'{BPE_ISH_RE}')) as bigint)"
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text (md5 is
+    identical across Spark/DuckDB, so the oracle can verify it)."""
+    return F.md5(normalized_text_col(text))
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5({normalized_text_sql(text)})"
+
+
+def quality_score_col(
+    stop_fraction: Column, distinct_fraction: Column, mean_word_len: Column
+) -> Column:
+    """Composite 0-1 quality score: rescaled blend of stopword density,
+    lexical diversity, and mean-word-length proximity to English norms.
+    Fixed operation order for oracle parity."""
+    mwl_term = F.lit(1.0) - F.least(
+        F.abs(mean_word_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    raw = (
+        F.least(stop_fraction * F.lit(5.0), F.lit(1.0))
+        + distinct_fraction
+        + mwl_term
+    ) / F.lit(3.0)
+    return raw
+
+
+def quality_score_sql(
+    stop_fraction: str, distinct_fraction: str, mean_word_len: str
+) -> str:
+    mwl_term = f"(1.0 - least(abs(({mean_word_len}) - 5.0) / 5.0, 1.0))"
+    return (
+        f"((least(({stop_fraction}) * 5.0, 1.0) + ({distinct_fraction}) + "
+        f"{mwl_term}) / 3.0)"
+    )
+
+
+def language_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detected-language histogram over a corpus (one scan + tiny shuffle)."""
+    toks = T.tokens_col(F.col(text_col))
+    return (
+        df.select(langid.detect_col(toks).alias("det_lang"))
+        .groupBy("det_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

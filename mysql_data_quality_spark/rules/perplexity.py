@@ -28,11 +28,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-# Pinned unigram table: log(1/64) for listed words — a flat model over a
-# small embedded lexicon of common English + domain words.  Out-of-vocabulary
-# log-prob is log(1e-6).  Values are exact float64 literals via repr().
-_IN_VOCAB_LOGP = math.log(1.0 / 64.0)
-OOV_LOGP = math.log(1e-6)
+# Pinned unigram table: ~log(1/64) for listed words — a flat model over a
+# small embedded lexicon of common English + domain words; OOV ~ log(1e-6).
+#
+# The values are QUANTIZED TO MULTIPLES OF 1/32 (dyadic rationals, exactly
+# representable in float64 with 5 fractional mantissa bits).  Sums of such
+# values are EXACT in IEEE double for any realistic document length, so the
+# mean log-prob is bit-identical regardless of summation order — across
+# Spark partitionings, cluster sizes, numpy pairwise summation, and the
+# DuckDB oracle.  This is what makes the perplexity rule's keep/drop
+# decision deterministic at any scale (north-rule byte-identity).
+_IN_VOCAB_LOGP = -133.0 / 32.0  # -4.15625  ~ log(1/64)
+OOV_LOGP = -442.0 / 32.0  # -13.8125 ~ log(1e-6)
 EMPTY_DOC_LOGP = OOV_LOGP  # an empty document scores like pure noise
 
 VOCAB: tuple[str, ...] = (
