@@ -40,7 +40,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # NOTE: 8g measured faster than 24g/48g for the string-heavy filter
+        # scan on this box (GC dynamics); see BENCH.md
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GC_OPTS", "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

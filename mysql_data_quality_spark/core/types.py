@@ -111,7 +111,14 @@ class RuleResult:
 
 
 def _json_safe(value: Any) -> Any:
-    """Coerce numpy scalars / tuples for JSON (reference base.py:46-60)."""
+    """Coerce numpy scalars / datetimes / bytes / tuples for JSON
+    (reference base.py:46-60, extended for Spark row values)."""
+    if isinstance(value, datetime):
+        return value.isoformat()
+    if isinstance(value, bytes):
+        return value.hex()
+    if hasattr(value, "isoformat"):  # date
+        return value.isoformat()
     if hasattr(value, "item") and not isinstance(value, (str, bytes)):
         try:
             return value.item()

@@ -87,11 +87,14 @@ def mean_word_len_sql(toks: str) -> str:
 # ---------------------------------------------------------------------------
 # stopword fraction (tokens lowercased, multiplicity counted)
 # ---------------------------------------------------------------------------
-def stop_count_col(toks: Column) -> Column:
+def stop_count_col(toks: Column, lowered: bool = False) -> Column:
+    """``lowered=True`` skips per-token lower() when the caller already
+    provides lowercase tokens (one transform pass shared by all rules)."""
     stop = F.lit(list(STOPWORDS))  # array literal, broadcast into codegen
-    return F.size(
-        F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
-    ).cast("bigint")
+    key = (lambda t: F.array_contains(stop, t)) if lowered else (
+        lambda t: F.array_contains(stop, F.lower(t))
+    )
+    return F.size(F.filter(toks, key)).cast("bigint")
 
 
 def stop_count_sql(toks: str) -> str:
@@ -142,6 +145,8 @@ SYMBOL_RE = "[^A-Za-z0-9 \\t\\n\\r]"
 
 
 def symbol_ratio_col(text: Column, toks: Column) -> Column:
+    # NOTE: length(regexp_replace(...)) measured ~4x faster than
+    # F.regexp_count(...) here (regexp_count hit a slow path in Spark 4.1)
     sym = F.length(
         F.regexp_replace(
             F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\r]", ""

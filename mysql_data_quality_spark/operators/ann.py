@@ -134,26 +134,53 @@ def lsh_cosine_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank restricted to corpus vectors
-    sharing the query's LSH bucket.  With ``bits=b`` the expected candidate
-    set is corpus/2^b — the knob trading recall for cost."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        signature_col(F.col(vec_col), dim, bits).alias("bucket"),
+    """Approximate top-k: standard multi-table hyperplane LSH.
+
+    ``tables`` independent signatures (different hyperplane seeds); a
+    corpus vector is a candidate if it shares ANY table's bucket with the
+    query; candidates get an exact cosine re-rank.  Expected candidate set
+    ~ tables * corpus / 2^bits — `bits` trades cost, `tables` buys recall.
+    The bucket join shuffles only (table_id, bucket, id) — tiny keys."""
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    signature_col(vec, dim, bits, seed=42 + 1000 * t).alias(
+                        "bkt"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.explode(buckets(F.col(vec_col))).alias("b"),
+        )
+        .select("vec_id", "c_vec", "b.tbl", "b.bkt")
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            signature_col(F.col(vec_col), dim, bits).alias("bucket"),
-        )
+            F.explode(buckets(F.col(vec_col))).alias("b"),
+        ).select("query_id", "q_vec", "b.tbl", "b.bkt")
     )
-    scored = c.join(q, on="bucket").withColumn(
+    cand = (
+        c.join(q, on=["tbl", "bkt"])
+        .select("query_id", "q_vec", "vec_id", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.withColumn(
         "cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(

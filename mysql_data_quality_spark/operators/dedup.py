@@ -187,13 +187,16 @@ def minhash_signatures(
     """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(shingle, seed=i).  Pure JVM hash, no Python."""
     sh = _shingles(df, id_col, text_col, k)
+
+    # NB: the hash-seed closure must be built by a factory — a two-param
+    # lambda (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX
+    # as the second argument, silently replacing the seed
+    def hasher(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), hasher(i)))
             for i in range(num_hashes)
         ]
     )

@@ -40,14 +40,22 @@ LANG_ORDER: tuple[str, ...] = tuple(LANG_MARKERS)
 UNDETERMINED = "und"
 
 
-def _score_col(toks: Column, markers: tuple[str, ...]) -> Column:
+def _score_col(
+    toks: Column, markers: tuple[str, ...], lowered: bool = False
+) -> Column:
     m = F.lit(list(markers))
-    return F.size(F.filter(toks, lambda t: F.array_contains(m, F.lower(t))))
+    key = (lambda t: F.array_contains(m, t)) if lowered else (
+        lambda t: F.array_contains(m, F.lower(t))
+    )
+    return F.size(F.filter(toks, key))
 
 
-def detect_col(toks: Column) -> Column:
-    """Detected-language Column from a token-array Column."""
-    scores = {lang: _score_col(toks, m) for lang, m in LANG_MARKERS.items()}
+def detect_col(toks: Column, lowered: bool = False) -> Column:
+    """Detected-language Column from a token-array Column.  ``lowered=True``
+    when the caller passes pre-lowercased tokens (saves 6 lower() passes)."""
+    scores = {
+        lang: _score_col(toks, m, lowered) for lang, m in LANG_MARKERS.items()
+    }
     mx = F.greatest(*scores.values())
     expr = F.lit(UNDETERMINED)
     # build reversed so the FIRST language in LANG_ORDER wins ties

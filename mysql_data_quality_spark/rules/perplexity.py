@@ -56,21 +56,17 @@ VOCAB: tuple[str, ...] = (
 LOGP: dict[str, float] = {w: _IN_VOCAB_LOGP for w in VOCAB}
 
 
-def _token_logp_col(tok: Column) -> Column:
-    expr = F.lit(OOV_LOGP)
-    # single chained CASE; all vocab words share one literal so Catalyst
-    # folds this to a compact expression
-    lowered = F.lower(tok)
-    expr = F.when(
-        F.array_contains(F.lit(list(VOCAB)), lowered), F.lit(_IN_VOCAB_LOGP)
+def _token_logp_col(tok: Column, lowered: bool = False) -> Column:
+    key = tok if lowered else F.lower(tok)
+    return F.when(
+        F.array_contains(F.lit(list(VOCAB)), key), F.lit(_IN_VOCAB_LOGP)
     ).otherwise(F.lit(OOV_LOGP))
-    return expr
 
 
-def avg_logprob_col(toks: Column) -> Column:
+def avg_logprob_col(toks: Column, lowered: bool = False) -> Column:
     """Mean token log-probability (double); EMPTY_DOC_LOGP for empty docs."""
     total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + _token_logp_col(t)
+        toks, F.lit(0.0), lambda acc, t: acc + _token_logp_col(t, lowered)
     )
     n = F.size(toks)
     return F.when(n > 0, total / n.cast("double")).otherwise(

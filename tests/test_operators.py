@@ -1,0 +1,225 @@
+"""Training-data operator tests: dedup (exact / jaccard / minhash /
+simhash), ANN recall, multimodal plumbing, textstats, sources registry,
+orchestrator, plan compiler."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.operators import ann, dedup, multimodal, textstats
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("tonight", "today")),  # near dup
+        (4, "completely different text about spark query engines and joins"),
+        (5, "another unrelated document mentioning data quality validation"),
+        (6, base.upper()),  # case-normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+
+class TestDedup:
+    def test_exact_groups(self, spark, near_dup_docs):
+        g = dedup.exact_duplicate_groups(near_dup_docs, "doc_id", "text").collect()
+        assert len(g) == 1
+        assert g[0]["dup_count"] == 3  # 1, 2, and case-normalized 6
+        assert g[0]["doc_ids"] == [1, 2, 6]
+
+    def test_jaccard_pairs(self, spark, near_dup_docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.shingle_jaccard_pairs(
+                near_dup_docs, "doc_id", "text", k=3, threshold=0.5
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert 0.5 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_estimates_jaccard(self, spark, near_dup_docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_pairs(
+                near_dup_docs, "doc_id", "text",
+                k=3, num_hashes=64, bands=16, threshold=0.4,
+            ).collect()
+        }
+        assert pairs[(1, 2)] == 1.0  # identical signatures
+        assert (1, 3) in pairs  # near dup caught by some band
+        assert (4, 5) not in pairs
+
+    def test_simhash_near_pairs(self, spark, near_dup_docs):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(
+                near_dup_docs, "doc_id", "text"
+            ).collect()
+        }
+        assert sigs[1] == sigs[2]
+        # hamming(1,3) small, hamming(1,4) large
+        ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+        assert ham(sigs[1], sigs[3]) <= 8
+        assert ham(sigs[1], sigs[4]) > 8
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_near_pairs(
+                near_dup_docs, "doc_id", "text", max_hamming=8
+            ).collect()
+        }
+        assert (1, 2) in pairs
+
+    def test_shingle_df_cap_drops_hot_shingles(self, spark):
+        # 10 docs all share one boilerplate sentence; cap kills those pairs
+        rows = [(i, f"unique text number {i} " + "click here to continue now")
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        uncapped = dedup.shingle_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.1
+        ).count()
+        capped = dedup.shingle_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.1, max_shingle_df=5
+        ).count()
+        assert uncapped > 0 and capped == 0
+
+
+class TestAnn:
+    def test_bruteforce_self_is_top1(self, spark):
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = ann.cosine_topk(emb, q, k=5).toPandas()
+        r1 = top[top["rank"] == 1]
+        assert (r1["query_id"].values == r1["vec_id"].values).all()
+        assert (r1["cosine"] > 0.999999).all()
+
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = ann.cosine_topk(emb, q, k=5).toPandas()
+        approx = ann.lsh_cosine_topk(
+            emb, q, dim=64, k=5, bits=4, tables=8
+        ).toPandas()
+        # recall@5 of the bucketed variant vs brute force
+        recall = 0.0
+        for qid in range(10):
+            e = set(exact[exact.query_id == qid].vec_id)
+            a = set(approx[approx.query_id == qid].vec_id)
+            recall += len(e & a) / len(e)
+        recall /= 10
+        assert recall >= 0.6  # 8 tables x 4-bit buckets
+        # self-match always survives (same bucket by construction)
+        r1 = approx[approx["rank"] == 1]
+        assert (r1["query_id"].values == r1["vec_id"].values).all()
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        rows = [
+            ("m1", "image", b"\x89PNGfake", "image/png", 8, 8, None),
+            ("m2", "audio", b"RIFFfake", "audio/wav", None, None, 2000),
+            ("m3", "video", b"\x00vid", "video/mp4", 16, 16, 3500),
+            ("m4", "image", None, "image/png", 1, 1, None),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.extract_features(df, feature_dim=8).toPandas()
+        assert len(out) == 4
+        assert (out[out.media_id == "m1"].payload_bytes == 8).all()
+        feats = out[out.media_id == "m1"].feature.iloc[0]
+        assert len(feats) == 8 and all(0 <= v < 1 for v in feats)
+        # deterministic: same payload -> same feature
+        out2 = multimodal.extract_features(
+            df.repartition(3), feature_dim=8
+        ).toPandas()
+        m = {r.media_id: tuple(r.feature) for r in out.itertuples()}
+        m2 = {r.media_id: tuple(r.feature) for r in out2.itertuples()}
+        assert m == m2
+
+    def test_frame_sample_plan(self, spark):
+        rows = [("v1", "video", b"x", "video/mp4", 1, 1, 3500),
+                ("v2", "video", b"y", "video/mp4", 1, 1, 0),
+                ("i1", "image", b"z", "image/png", 1, 1, None)]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        frames = multimodal.frame_sample_plan(df, every_ms=1000).toPandas()
+        assert sorted(frames[frames.media_id == "v1"].frame_ts_ms) == [0, 1000, 2000]
+        assert (frames.media_id != "i1").all()
+        assert len(frames[frames.media_id == "v2"]) == 0
+
+    def test_real_decode_is_gated(self):
+        with pytest.raises(multimodal.DecodeUnavailable):
+            multimodal.real_decode(b"x", "image/png")
+
+
+class TestTextstats:
+    def test_token_counts_and_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello world, it's 2024!"), (2, "  hello   WORLD, it's 2024! ")],
+            "doc_id: bigint, text: string",
+        )
+        out = df.select(
+            "doc_id",
+            textstats.whitespace_token_count_col(F.col("text")).alias("ws"),
+            textstats.bpe_ish_token_count_col(F.col("text")).alias("bpe"),
+            textstats.fingerprint_col(F.col("text")).alias("fp"),
+        ).toPandas()
+        assert out.ws.tolist() == [4, 4]
+        assert out.bpe.tolist()[0] >= 7
+        # normalization: case+whitespace-insensitive fingerprints match
+        assert out.fp.iloc[0] == out.fp.iloc[1]
+
+
+class TestSourcesRegistry:
+    def test_factory_dispatch_and_registration(self, spark, tmp_path):
+        from mysql_data_quality_spark.sources import registry
+
+        assert "parquet" in registry.registered_formats()
+        reader = registry.create_reader("parquet")
+        df = reader(spark, f"{SF_CORRECT}/region.parquet")
+        assert registry.get_table_count(df) == 5
+        info = registry.get_table_info(df)
+        assert info[0]["name"] == "r_regionkey"
+        with pytest.raises(registry.UnknownFormatError, match="Unsupported"):
+            registry.create_reader("mongodb")
+
+        @registry.register_reader("constant")
+        def _c(spark, path):
+            return spark.range(3)
+
+        assert registry.create_reader("constant")(spark, "x").count() == 3
+
+
+class TestOrchestratorAndPlans:
+    def test_complete_analysis(self, spark, tmp_path):
+        from mysql_data_quality_spark.core.orchestrator import Orchestrator
+
+        orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        orc = Orchestrator(spark, output_dir=tmp_path, sample_size=1000)
+        analysis = orc.run_complete_analysis(orders, "orders")
+        assert analysis["metadata"]["total_rows"] == 15000
+        assert analysis["metadata"]["analyzed_rows"] == 1000
+        assert analysis["summary"]["total_checks"] == len(analysis["results"])
+        assert analysis["report_paths"]["json"].exists()
+        assert analysis["report_paths"]["txt"].exists()
+
+    def test_compiled_plan_prunes_html(self, spark):
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.plans.compiler import compile_plan
+
+        pages = P.read_pages(spark, SF_CORRECT)
+        plan = compile_plan(pages)
+        assert "html" not in plan.scan_columns()
+        assert "text" in plan.scan_columns()
+        assert len(plan.rule_names) >= 10
