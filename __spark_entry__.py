@@ -554,6 +554,112 @@ def _quality_scores_sql() -> str:
     return f"select doc_id, ({score}) as quality_score from documents"
 
 
+def _events_sessionize(spark, sf_dir):
+    """Window-function coverage: 30-min-gap sessionization per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_num",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "event_id", "session_num")
+    )
+
+
+def _events_sessionize_sql() -> str:
+    return """
+select user_id, event_id,
+       sum(new_sess) over (partition by user_id order by ts asc, event_id asc
+                           rows between unbounded preceding and current row)
+         as session_num
+from (
+  select user_id, event_id, ts,
+         case when lag(ts) over (partition by user_id
+                                 order by ts asc, event_id asc) is null
+                   or ts > lag(ts) over (partition by user_id
+                                         order by ts asc, event_id asc)
+                        + interval 30 minute
+              then 1 else 0 end as new_sess
+  from events)
+"""
+
+
+def _nation_keys_union(spark, sf_dir):
+    """Set-op coverage (SURVEY.md U1): union + distinct."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def _embedding_near_pairs(spark, sf_dir):
+    """All embedding pairs with cosine >= 0.4 (embedding-space near-dup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn("cosine", ann.cosine_col(F.col("ea"), F.col("eb")))
+        .where(F.col("cosine") >= 0.4)
+        .select("ia", "ib", "cosine")
+    )
+
+
+def _embedding_near_pairs_sql() -> str:
+    cos = ann.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+select a.vec_id as ia, b.vec_id as ib, {cos} as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where ({cos}) >= 0.4
+"""
+
+
+def _quality_band_histogram(spark, sf_dir):
+    """A14 quality-band coverage: bucket docs by quality score."""
+    docs = _t(spark, sf_dir, "documents")
+    df = heuristics.with_features(docs, "text")
+    score = textstats.quality_score_col(
+        F.col("stop_fraction"), F.col("distinct_fraction"), F.col("mean_word_len")
+    )
+    band = (
+        F.when(score >= 0.85, "EXCELLENT")
+        .when(score >= 0.7, "GOOD")
+        .when(score >= 0.5, "FAIR")
+        .otherwise("POOR")
+    )
+    return df.select(band.alias("band")).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _quality_band_histogram_sql() -> str:
+    feats = heuristics.features_sql("text")
+    score = textstats.quality_score_sql(
+        feats["stop_fraction"], feats["distinct_fraction"], feats["mean_word_len"]
+    )
+    return f"""
+select case when ({score}) >= 0.85 then 'EXCELLENT'
+            when ({score}) >= 0.7 then 'GOOD'
+            when ({score}) >= 0.5 then 'FAIR'
+            else 'POOR' end as band,
+       count(*) as n_docs
+from documents group by 1
+"""
+
+
 # --- no-oracle (rows-only) entries ---------------------------------------
 
 
@@ -599,15 +705,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_revenue_topk": _q3_revenue_topk,
         "q5ish_nation_revenue": _q5ish_nation_revenue,
         "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
         "user_event_ranks": _user_event_ranks,
         "part_brand_stats": _part_brand_stats,
+        "nation_keys_union": _nation_keys_union,
         # training-data operators
         "dedup_exact_docs": _dedup_exact_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_near_pairs": _embedding_near_pairs,
         "token_counts": _token_counts,
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,
+        "quality_band_histogram": _quality_band_histogram,
         # rows-only (non-SQL-expressible: engine-specific hash functions)
         "minhash_pairs_docs": _minhash_pairs_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -648,14 +758,22 @@ def oracle_sql() -> dict[str, str]:
         "q3_revenue_topk": _q3_sql(),
         "q5ish_nation_revenue": _q5ish_sql(),
         "events_hourly": _events_hourly_sql(),
+        "events_sessionize": _events_sessionize_sql(),
         "user_event_ranks": _user_event_ranks_sql(),
         "part_brand_stats": _part_brand_stats_sql(),
+        "nation_keys_union": (
+            "select distinct nationkey from ("
+            "select c_nationkey as nationkey from customer "
+            "union all select s_nationkey as nationkey from supplier)"
+        ),
         "dedup_exact_docs": _dedup_exact_docs_sql(),
         "jaccard_pairs_docs": dedup.shingle_jaccard_pairs_sql(
             "documents", k=3, threshold=0.6
         ),
         "ann_cosine_topk": _ann_cosine_topk_sql(),
+        "embedding_near_pairs": _embedding_near_pairs_sql(),
         "token_counts": _token_counts_sql(),
         "lang_distribution": _lang_distribution_sql(),
         "quality_scores": _quality_scores_sql(),
+        "quality_band_histogram": _quality_band_histogram_sql(),
     }

@@ -1,0 +1,92 @@
+"""Streaming==batch parity and skew-salting invariance (FIXTURES.md F6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.operators import skew
+from mysql_data_quality_spark.pipeline import pages as P
+from mysql_data_quality_spark.pipeline import quality_filter as QF
+from mysql_data_quality_spark.streaming import incremental
+from tests.conftest import SF_SMOKE
+
+
+class TestStreaming:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # drop the corpus as several files to force multiple micro-batches
+        pages.repartition(6).write.parquet(in_dir)
+
+        q = incremental.start_filter_stream(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(out_dir).orderBy("url").toPandas()
+        batch = QF.decisions(pages).orderBy("url").toPandas()
+        assert len(streamed) == len(batch)
+        for c in batch.columns:
+            assert (streamed[c].values == batch[c].values).all(), c
+
+    def test_stream_restart_no_reprocess(self, spark, tmp_path):
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        pages.write.parquet(in_dir)
+        q = incremental.start_filter_stream(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out_dir).count()
+        # restart with the same checkpoint: no new files -> no new rows
+        q2 = incremental.start_filter_stream(spark, in_dir, out_dir, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == n1
+
+
+class TestSkew:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # one domain owns ~100x the median (F6 skew fixture)
+        hot = spark.range(1000).select(
+            F.concat(F.lit("https://hot.example.com/p/"), F.col("id")).alias("url")
+        )
+        cold = spark.range(10).select(
+            F.concat(
+                F.lit("https://cold"), F.col("id"), F.lit(".example.com/p/0")
+            ).alias("url")
+        )
+        return hot.union(cold)
+
+    def test_salt_is_deterministic_and_bounded(self, spark, skewed):
+        a = skew.with_salt(skewed, "url", 8).orderBy("url").toPandas()
+        b = skew.with_salt(skewed.repartition(5), "url", 8).orderBy("url").toPandas()
+        assert (a["_salt"].values == b["_salt"].values).all()
+        assert a["_salt"].between(0, 7).all()
+
+    def test_salted_count_equals_direct(self, spark, skewed):
+        df = skewed.withColumn("domain", skew.domain_col(F.col("url")))
+        direct = {
+            r["domain"]: r["n"]
+            for r in df.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        salted = {
+            r["domain"]: r["n_rows"]
+            for r in skew.salted_group_count(df, "domain", "url", 8).collect()
+        }
+        assert direct == salted
+        assert direct["hot.example.com"] == 1000
+
+    def test_salt_splits_hot_key(self, spark, skewed):
+        df = skew.with_salt(
+            skewed.withColumn("domain", skew.domain_col(F.col("url"))), "url", 8
+        )
+        per_salt = (
+            df.where(F.col("domain") == "hot.example.com")
+            .groupBy("_salt")
+            .count()
+            .toPandas()
+        )
+        assert len(per_salt) == 8  # hot key spread over all salts
+        assert per_salt["count"].max() < 1000 * 0.25  # no salt owns the key
