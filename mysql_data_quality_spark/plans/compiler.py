@@ -25,19 +25,29 @@ class CompiledPlan:
     df: DataFrame
     rule_names: tuple[str, ...] = field(default_factory=tuple)
 
-    def explain_str(self) -> str:
-        return self.df._jdf.queryExecution().executedPlan().toString()
+    def explain_str(self, mode: str = "formatted") -> str:
+        return formatted_plan(self.df, mode)
 
     def scan_columns(self) -> list[str]:
         """Columns that actually reach the scan (pruning check)."""
         import re
 
-        plan = self.df._jdf.queryExecution().executedPlan().toString()
+        plan = self.explain_str()
         m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         cols: list[str] = []
         for grp in m:
             cols += [c.split(":")[0] for c in grp.split(",") if c]
         return cols
+
+
+def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Full (untruncated) physical plan text — `executedPlan().toString()`
+    truncates field lists in Spark 4."""
+    spark = df.sparkSession
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(explain_mode)
 
 
 def compile_plan(pages: DataFrame, use_arrow_udfs: bool = False) -> CompiledPlan:

@@ -34,7 +34,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("el", "los", "es", "una", "por", "con", "para", "como", "su", "del"),
     "fr": ("le", "les", "et", "est", "pas", "pour", "dans", "au", "ce", "vous"),
     "it": ("il", "gli", "che", "non", "per", "sono", "della", "un", "ma", "si"),
-    "pt": ("os", "um", "uma", "não", "mais", "como", "dos", "ao", "em", "se"),
+    "pt": ("os", "um", "uma", "não", "mais", "também", "dos", "ao", "em", "se"),
 }
 LANG_ORDER: tuple[str, ...] = tuple(LANG_MARKERS)
 UNDETERMINED = "und"

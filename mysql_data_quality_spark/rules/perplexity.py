@@ -64,11 +64,22 @@ def _token_logp_col(tok: Column, lowered: bool = False) -> Column:
 
 
 def avg_logprob_col(toks: Column, lowered: bool = False) -> Column:
-    """Mean token log-probability (double); EMPTY_DOC_LOGP for empty docs."""
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + _token_logp_col(t, lowered)
+    """Mean token log-probability (double); EMPTY_DOC_LOGP for empty docs.
+
+    Computed as ``(n_iv*IN + (n-n_iv)*OOV) / n`` where n_iv = in-vocab
+    token count — ONE filter pass instead of a per-token fold.  Because the
+    two log-probs are dyadic rationals, this closed form is bit-identical
+    to the sequential per-token summation used by the SQL oracle and the
+    pandas UDF (integer-times-dyadic products and their sum are exact)."""
+    vocab = F.lit(list(VOCAB))
+    key = (lambda t: F.array_contains(vocab, t)) if lowered else (
+        lambda t: F.array_contains(vocab, F.lower(t))
     )
     n = F.size(toks)
+    n_iv = F.size(F.filter(toks, key))
+    total = n_iv.cast("double") * F.lit(_IN_VOCAB_LOGP) + (
+        n - n_iv
+    ).cast("double") * F.lit(OOV_LOGP)
     return F.when(n > 0, total / n.cast("double")).otherwise(
         F.lit(EMPTY_DOC_LOGP)
     )

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality-filter pipeline.
+
+Cluster launch (the north-star deployment shape)::
+
+    zip -r mdqs.zip mysql_data_quality_spark
+    spark-submit --py-files mdqs.zip scripts/run_pipeline.py \
+        --input  /path/to/pages_parquet \
+        --output /path/to/out \
+        --buckets 64 --group-size 8 [--resume] [--arrow-udfs]
+
+Local smoke (this sandbox)::
+
+    python scripts/run_pipeline.py --documents /root/testdata/sf0.001 \
+        --output /tmp/qf_out --buckets 8
+
+Writes: bucket-partitioned decisions parquet + per-bucket lineage +
+rule-metrics JSON report.  Re-running with ``--resume`` skips completed
+buckets (idempotent; see pipeline/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+# allow running without --py-files when the repo root is the cwd
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    src.add_argument("--documents", help="documents sf dir -> synthesize pages")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--group-size", type=int, default=8)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip buckets already recorded in lineage")
+    ap.add_argument("--arrow-udfs", action="store_true",
+                    help="score langid/perplexity via Arrow pandas UDFs")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from mysql_data_quality_spark.core.session import get_spark
+    from mysql_data_quality_spark.pipeline import pages as P
+    from mysql_data_quality_spark.pipeline import quality_filter as QF
+    from mysql_data_quality_spark.pipeline.checkpoint import CheckpointedWriter
+    from mysql_data_quality_spark.reports.summary import write_json_report
+
+    spark = get_spark(app_name="quality-filter", cores=args.cores)
+    try:
+        if args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            pages = P.read_pages(spark, args.documents)
+
+        ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
+        out_cols = list(QF.DECISION_COLS) + ["rule_hits"]
+        decisions = ann.select(*out_cols)
+
+        writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
+        if not args.resume and writer.completed_buckets():
+            raise SystemExit(
+                f"{args.output} has prior lineage; pass --resume to continue "
+                "or point at a fresh directory"
+            )
+        stats = writer.run(decisions, group_size=args.group_size)
+
+        metrics = QF.metrics(ann)
+        report = write_json_report(metrics, "pages", Path(args.output) / "reports")
+        print(json.dumps({
+            "buckets_written": stats["written"],
+            "buckets_skipped": stats["skipped"],
+            "report": str(report),
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Physical-plan quality gates (SURVEY.md §4): the plans we ship must be
+the plans we designed — broadcast anti-joins for FK checks, broadcast hash
+joins for dim tables, column pruning at the scan, whole-stage codegen in
+the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    from mysql_data_quality_spark.plans.compiler import formatted_plan
+
+    return formatted_plan(df)
+
+
+class TestPlanQuality:
+    def test_fk_check_is_broadcast_anti_join(self, spark):
+        orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+        orphans = orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            on="o_custkey",
+            how="left_anti",
+        )
+        plan = _plan(orphans)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_q3_broadcasts_customer(self, spark):
+        plan = _plan(entry._q3_revenue_topk(spark, SF_CORRECT))
+        assert "BroadcastHashJoin" in plan
+        # top-k compiles to TakeOrderedAndProject, not a full sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q5_broadcasts_all_dims(self, spark):
+        plan = _plan(entry._q5ish_nation_revenue(spark, SF_CORRECT))
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_q1_filter_pushed_to_scan(self, spark):
+        plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_pipeline_is_single_stage_no_exchange(self, spark):
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        plan = _plan(QF.decisions(P.read_pages(spark, SF_CORRECT)))
+        assert "Exchange" not in plan  # pure map: zero shuffles
+        # one scan feeds all rules (formatted explain names each scan once
+        # in the tree and once in the detail section)
+        assert plan.count("Location: InMemoryFileIndex") == 1
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {
+            "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        }

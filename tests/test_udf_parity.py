@@ -1,0 +1,85 @@
+"""Pure-pandas parity checks of the batch scorers vs the declared
+semantics, plus real multi-language langid vectors (no Spark needed)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from mysql_data_quality_spark.functions import checkdigits
+from mysql_data_quality_spark.rules import langid, perplexity
+
+
+class TestLangidBatch:
+    def test_real_language_sentences(self):
+        texts = pd.Series(
+            [
+                "the cat is on the mat and it is happy with this",
+                "der hund ist nicht zu hause und die katze auch nicht",
+                "le chat est dans la maison et il est pour vous",
+                "el perro es una mascota para los humanos como su amigo",
+                "il gatto non è il cane che sono per la casa",  # it markers
+                "um gato não é um cão mais como os outros",
+                "xyzzy plugh qwertz",
+                "",
+            ]
+        )
+        out = langid._detect_batch(texts).tolist()
+        assert out == ["en", "de", "fr", "es", "it", "pt", "und", "und"]
+
+    def test_tiebreak_is_declaration_order(self):
+        # one en marker + one de marker -> tie -> 'en' (first declared)
+        out = langid._detect_batch(pd.Series(["the und"])).tolist()
+        assert out == ["en"]
+
+    def test_markers_collision_free(self):
+        seen = {}
+        for lang, markers in langid.LANG_MARKERS.items():
+            for m in markers:
+                assert m not in seen, f"{m} in both {seen.get(m)} and {lang}"
+                seen[m] = lang
+
+
+class TestPerplexityBatch:
+    def test_closed_form_matches_sequential(self):
+        texts = pd.Series(
+            ["the data table", "xyzzy the", "", "the " * 1000 + "qqq"]
+        )
+        got = perplexity._avg_logprob_batch(texts).tolist()
+        for text, g in zip(texts, got):
+            toks = text.split()
+            if not toks:
+                assert g == perplexity.EMPTY_DOC_LOGP
+                continue
+            seq = 0.0
+            for t in toks:
+                seq += perplexity.LOGP.get(t.lower(), perplexity.OOV_LOGP)
+            assert g == seq / len(toks)  # exact: dyadic-rational sums
+
+    def test_logps_are_dyadic(self):
+        # the exactness guarantee rests on this
+        assert perplexity._IN_VOCAB_LOGP * 32 == int(
+            perplexity._IN_VOCAB_LOGP * 32
+        )
+        assert perplexity.OOV_LOGP * 32 == int(perplexity.OOV_LOGP * 32)
+
+    def test_perplexity_of_pure_vocab(self):
+        ppl = math.exp(-perplexity._IN_VOCAB_LOGP)
+        assert 60 < ppl < 70  # ~ e^4.15625
+
+
+class TestCheckdigitsBatch:
+    def test_known_vectors(self):
+        cpfs = pd.Series(
+            ["123.456.789-09", "12345678909", "987.654.321-00",
+             "111.111.111-11", "123.456.789-10", None, "", "12345"]
+        )
+        assert checkdigits.cpf_valid_batch(cpfs).tolist() == [
+            True, True, True, False, False, False, False, False]
+        cnpjs = pd.Series(
+            ["11.444.777/0001-61", "11444777000161", "11.222.333/0001-81",
+             "00.000.000/0000-00", "123456789012345", "11.444.777/0001-62"]
+        )
+        assert checkdigits.cnpj_valid_batch(cnpjs).tolist() == [
+            True, True, True, False, False, False]
