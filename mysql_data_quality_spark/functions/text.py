@@ -145,11 +145,12 @@ SYMBOL_RE = "[^A-Za-z0-9 \\t\\n\\r]"
 
 
 def symbol_ratio_col(text: Column, toks: Column) -> Column:
-    # NOTE: length(regexp_replace(...)) measured ~4x faster than
-    # F.regexp_count(...) here (regexp_count hit a slow path in Spark 4.1)
+    # NOTE: run-quantified ([...]+) regexp_replace measured 3x faster than
+    # per-char, and length(regexp_replace) ~4x faster than F.regexp_count
+    # (Spark 4.1 slow path); result length is identical either way
     sym = F.length(
         F.regexp_replace(
-            F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\r]", ""
+            F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\r]+", ""
         )
     )
     n = F.size(toks)
@@ -161,7 +162,7 @@ def symbol_ratio_col(text: Column, toks: Column) -> Column:
 def symbol_ratio_sql(text: str, toks: str) -> str:
     sym = (
         f"length(regexp_replace(coalesce({text}, ''), "
-        "'[A-Za-z0-9 \\t\\n\\r]', '', 'g'))"
+        "'[A-Za-z0-9 \\t\\n\\r]+', '', 'g'))"
     )
     return (
         f"case when len({toks}) > 0 then cast({sym} as double) "
@@ -175,7 +176,7 @@ def symbol_ratio_sql(text: str, toks: str) -> str:
 def digit_fraction_col(text: Column) -> Column:
     t = F.coalesce(text, F.lit(""))
     n = F.length(t)
-    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]+", ""))
     return F.when(n > 0, digits.cast("double") / n.cast("double")).otherwise(
         F.lit(0.0)
     )
@@ -185,6 +186,6 @@ def digit_fraction_sql(text: str) -> str:
     t = f"coalesce({text}, '')"
     return (
         f"case when length({t}) > 0 then "
-        f"cast(length(regexp_replace({t}, '[^0-9]', '', 'g')) as double) "
+        f"cast(length(regexp_replace({t}, '[^0-9]+', '', 'g')) as double) "
         f"/ cast(length({t}) as double) else 0.0 end"
     )

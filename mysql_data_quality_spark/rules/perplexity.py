@@ -42,16 +42,19 @@ _IN_VOCAB_LOGP = -133.0 / 32.0  # -4.15625  ~ log(1/64)
 OOV_LOGP = -442.0 / 32.0  # -13.8125 ~ log(1e-6)
 EMPTY_DOC_LOGP = OOV_LOGP  # an empty document scores like pure noise
 
+# Order matters for speed only (array_contains early-exits, so the most
+# frequent words go first); membership semantics are order-independent.
 VOCAB: tuple[str, ...] = (
-    # function words
-    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "with",
-    "for", "on", "as", "at", "be", "this", "by", "are", "was", "from", "or",
-    "has", "have", "not", "but", "can", "will", "all", "we", "you", "they",
-    # common domain words (data/infra vocabulary)
+    # common domain words (data/infra vocabulary — dominant in web corpora
+    # of this shape)
     "data", "table", "row", "column", "value", "key", "query", "join",
     "filter", "sort", "order", "group", "merge", "hash", "scan", "batch",
     "stream", "window", "vector", "agg", "line", "part", "customer", "spark",
     "small", "big", "fast", "slow", "dup", "count", "sum", "index",
+    # function words
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "with",
+    "for", "on", "as", "at", "be", "this", "by", "are", "was", "from", "or",
+    "has", "have", "not", "but", "can", "will", "all", "we", "you", "they",
 )
 LOGP: dict[str, float] = {w: _IN_VOCAB_LOGP for w in VOCAB}
 
