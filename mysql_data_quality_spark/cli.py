@@ -1,0 +1,176 @@
+"""Command-line interface — the Spark re-expression of the reference CLI
+(``/root/reference/src/data_quality/cli.py``): ``validate`` (entry point 1,
+cli.py:180-331), ``analyze`` (entry point 2, cli.py:334-404),
+``list-tables`` / ``count`` (cli.py:64-113), plus the pipeline-specific
+``filter`` command.
+
+Tables are parquet paths (the five SQL dialect connectors collapse to the
+format registry — SURVEY.md S6/S12).
+
+Usage::
+
+    python -m mysql_data_quality_spark.cli validate /path/t.parquet \
+        [--validators completeness duplicates] [--sample-size 10000]
+    python -m mysql_data_quality_spark.cli analyze  /path/t.parquet \
+        [--output-dir reports]
+    python -m mysql_data_quality_spark.cli list-tables /dir/of/parquets
+    python -m mysql_data_quality_spark.cli filter --documents /sf/dir \
+        --output /out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+class _Session:
+    """Context manager that only stops the SparkSession it created —
+    embedding callers (tests, notebooks) keep their session alive."""
+
+    def __init__(self, cores: int | None):
+        self.cores = cores
+        self.owned = False
+
+    def __enter__(self):
+        from pyspark.sql import SparkSession
+
+        from mysql_data_quality_spark.core.session import get_spark
+
+        self.owned = SparkSession.getActiveSession() is None
+        self.spark = get_spark(app_name="mdqs-cli", cores=self.cores)
+        return self.spark
+
+    def __exit__(self, *exc):
+        if self.owned:
+            self.spark.stop()
+        return False
+
+
+def cmd_validate(args) -> int:
+    from mysql_data_quality_spark.core.orchestrator import (
+        Orchestrator,
+        default_engine,
+    )
+    from mysql_data_quality_spark.reports.summary import top_issues
+
+    with _Session(args.cores) as spark:
+        df = spark.read.parquet(args.table)
+        name = Path(args.table).stem
+        orc = Orchestrator(
+            spark, engine=default_engine(), sample_size=args.sample_size
+        )
+        analysis = orc.analyze_table(df, name, validator_names=args.validators)
+        s = analysis["summary"]
+        print(
+            f"{name}: {s['passed_checks']}/{s['total_checks']} checks passed "
+            f"({s['success_rate']:.1f}% — {s['quality_score']})"
+        )
+        for r in top_issues(analysis["results"]):
+            col = f"[{r.column_name}] " if r.column_name else ""
+            print(f"  {r.severity.value:8s} {col}{r.rule_name}: {r.message}")
+        return 0 if s["failed_checks"] == 0 else 1
+
+
+def cmd_analyze(args) -> int:
+    from mysql_data_quality_spark.core.orchestrator import Orchestrator
+
+    with _Session(args.cores) as spark:
+        df = spark.read.parquet(args.table)
+        name = Path(args.table).stem
+        orc = Orchestrator(
+            spark, sample_size=args.sample_size, output_dir=args.output_dir
+        )
+        analysis = orc.run_complete_analysis(
+            df, name, formats=tuple(args.formats)
+        )
+        print(
+            json.dumps(
+                {
+                    "table": name,
+                    "summary": analysis["summary"],
+                    "metadata": analysis["metadata"],
+                    "reports": {
+                        k: str(v) for k, v in analysis["report_paths"].items()
+                    },
+                }
+            )
+        )
+        return 0
+
+
+def cmd_list_tables(args) -> int:
+    from mysql_data_quality_spark.sources.registry import get_table_count
+
+    with _Session(args.cores) as spark:
+        rows = []
+        for p in sorted(Path(args.directory).glob("*.parquet")):
+            df = spark.read.parquet(str(p))
+            rows.append((p.stem, get_table_count(df), len(df.columns)))
+        # reference sorts by row count desc (cli.py:94-99)
+        for name, n, c in sorted(rows, key=lambda r: -r[1]):
+            print(f"{name:20s} {n:>12,} rows  {c:>3} cols")
+        return 0
+
+
+def cmd_filter(args) -> int:
+    """Thin wrapper over scripts/run_pipeline.py behavior."""
+    from mysql_data_quality_spark.pipeline import pages as P
+    from mysql_data_quality_spark.pipeline import quality_filter as QF
+    from mysql_data_quality_spark.pipeline.checkpoint import CheckpointedWriter
+
+    with _Session(args.cores) as spark:
+        pages = (
+            spark.read.parquet(args.input)
+            if args.input
+            else P.read_pages(spark, args.documents)
+        )
+        dec = QF.decisions(pages)
+        writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
+        stats = writer.run(dec, group_size=args.group_size)
+        print(json.dumps(stats))
+        return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="mysql_data_quality_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate", help="run validators on a table")
+    v.add_argument("table")
+    v.add_argument("--validators", nargs="*", default=None)
+    v.add_argument("--sample-size", type=int, default=10000)
+    v.set_defaults(fn=cmd_validate)
+
+    a = sub.add_parser("analyze", help="full analysis + reports")
+    a.add_argument("table")
+    a.add_argument("--sample-size", type=int, default=10000)
+    a.add_argument("--output-dir", default="reports")
+    a.add_argument("--formats", nargs="*", default=["json", "txt"])
+    a.set_defaults(fn=cmd_analyze)
+
+    lt = sub.add_parser("list-tables", help="list parquet tables + counts")
+    lt.add_argument("directory")
+    lt.set_defaults(fn=cmd_list_tables)
+
+    f = sub.add_parser("filter", help="run the quality-filter pipeline")
+    src = f.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input")
+    src.add_argument("--documents")
+    f.add_argument("--output", required=True)
+    f.add_argument("--buckets", type=int, default=16)
+    f.add_argument("--group-size", type=int, default=4)
+    f.set_defaults(fn=cmd_filter)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
