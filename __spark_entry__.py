@@ -645,6 +645,35 @@ def _quality_band_histogram(spark, sf_dir):
     )
 
 
+def _rollup_revenue(spark, sf_dir):
+    """Grouping-sets coverage (beyond the reference): ROLLUP subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def _rollup_revenue_sql() -> str:
+    return """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       count(*) as n_rows,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+from lineitem group by rollup(l_returnflag, l_linestatus)
+"""
+
+
 def _quality_band_histogram_sql() -> str:
     feats = heuristics.features_sql("text")
     score = textstats.quality_score_sql(
@@ -709,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_ranks": _user_event_ranks,
         "part_brand_stats": _part_brand_stats,
         "nation_keys_union": _nation_keys_union,
+        "rollup_revenue": _rollup_revenue,
         # training-data operators
         "dedup_exact_docs": _dedup_exact_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
@@ -761,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _events_sessionize_sql(),
         "user_event_ranks": _user_event_ranks_sql(),
         "part_brand_stats": _part_brand_stats_sql(),
+        "rollup_revenue": _rollup_revenue_sql(),
         "nation_keys_union": (
             "select distinct nationkey from ("
             "select c_nationkey as nationkey from customer "

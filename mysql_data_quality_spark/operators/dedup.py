@@ -187,22 +187,27 @@ def minhash_signatures(
     """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(shingle, seed=i).  Pure JVM hash, no Python."""
     sh = _shingles(df, id_col, text_col, k)
+    # hash each shingle STRING once; derive the per-seed family from the
+    # 64-bit base (hashing a long is length-independent and ~10x cheaper
+    # than re-hashing the string per seed).
+    # NB: seed closures must be built by a factory — a two-param lambda
+    # (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX as the
+    # second argument, silently replacing the seed.
+    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
 
-    # NB: the hash-seed closure must be built by a factory — a two-param
-    # lambda (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX
-    # as the second argument, silently replacing the seed
     def hasher(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda x: F.xxhash64(x, F.lit(seed))
 
+    sh = sh.where(F.size("shingles") > 0).select(
+        "doc_id", base.alias("_base")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), hasher(i)))
+            F.array_min(F.transform(F.col("_base"), hasher(i)))
             for i in range(num_hashes)
         ]
     )
-    return sh.where(F.size("shingles") > 0).select(
-        "doc_id", sig.alias("sig")
-    )
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
