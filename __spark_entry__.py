@@ -689,7 +689,54 @@ from documents group by 1
 """
 
 
+def _pivot_order_priority(spark, sf_dir):
+    """Pivot coverage: order counts per priority as columns, by status."""
+    o = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{p[0]}")
+                for p in pris
+            ],
+        )
+    )
+
+
+def _pivot_order_priority_sql() -> str:
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = ", ".join(
+        f"coalesce(sum(case when o_orderpriority = '{p}' then 1 else 0 end), 0)"
+        f" as p{p[0]}"
+        for p in pris
+    )
+    return f"select o_orderstatus, {cols} from orders group by o_orderstatus"
+
+
 # --- no-oracle (rows-only) entries ---------------------------------------
+
+
+def _approx_distinct_profile(spark, sf_dir):
+    """HLL approx distinct — the 10^12-scale path for duplicates (A2);
+    engine-specific sketch, so rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+def _sampled_scan(spark, sf_dir):
+    """Count-gated seeded sampling (S2/O1) — sampling is engine-specific,
+    so rows-only check."""
+    from mysql_data_quality_spark.plans.compiler import plan_scan
+
+    return plan_scan(_t(spark, sf_dir, "lineitem"), sample_size=5000)
 
 
 def _minhash_pairs_docs(spark, sf_dir):
@@ -739,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": _part_brand_stats,
         "nation_keys_union": _nation_keys_union,
         "rollup_revenue": _rollup_revenue,
+        "pivot_order_priority": _pivot_order_priority,
         # training-data operators
         "dedup_exact_docs": _dedup_exact_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
@@ -748,9 +796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,
         "quality_band_histogram": _quality_band_histogram,
-        # rows-only (non-SQL-expressible: engine-specific hash functions)
+        # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "minhash_pairs_docs": _minhash_pairs_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
+        "approx_distinct_profile": _approx_distinct_profile,
+        "sampled_scan": _sampled_scan,
     }
 
 
@@ -792,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_ranks": _user_event_ranks_sql(),
         "part_brand_stats": _part_brand_stats_sql(),
         "rollup_revenue": _rollup_revenue_sql(),
+        "pivot_order_priority": _pivot_order_priority_sql(),
         "nation_keys_union": (
             "select distinct nationkey from ("
             "select c_nationkey as nationkey from customer "
