@@ -38,12 +38,15 @@ def annotate(
     text_col: str = "text",
     claimed_lang: str = "lang",
     use_arrow_udfs: bool = False,
+    rules: tuple | None = None,
 ) -> DataFrame:
     """pages -> pages + features + hit_<rule> columns + keep/drop/scrub.
 
     ``use_arrow_udfs=True`` swaps the langid / perplexity Column
     implementations for the Arrow-batched pandas UDFs (bit-identical
-    results; see tests/test_udf_parity.py).
+    results; see tests/test_udf_parity.py).  ``rules`` overrides the
+    default heuristic registry (parameterized thresholds, enable flags) —
+    the reference's ValidationRule surface.
     """
     df = heuristics.with_features(pages, text_col)
     if use_arrow_udfs:
@@ -54,10 +57,10 @@ def annotate(
             }
         )
 
-    hits = heuristics.hit_cols(text_col, claimed_lang)
+    hits = heuristics.hit_cols(text_col, claimed_lang, rules)
     df = df.withColumns({f"hit_{name}": c for name, c in hits.items()})
 
-    severities = heuristics.all_rule_severities()
+    severities = heuristics.all_rule_severities(rules)
     drop_names = sorted(
         n for n, s in severities.items() if s in DROP_SEVERITIES
     )
@@ -93,9 +96,13 @@ def annotate(
 DECISION_COLS = ("url", "keep", "drop_reason", "scrubbed_text")
 
 
-def decisions(pages: DataFrame, use_arrow_udfs: bool = False) -> DataFrame:
+def decisions(
+    pages: DataFrame, use_arrow_udfs: bool = False, rules: tuple | None = None
+) -> DataFrame:
     """The per-document output contract: url -> keep/drop + scrubbed text."""
-    return annotate(pages, use_arrow_udfs=use_arrow_udfs).select(*DECISION_COLS)
+    return annotate(pages, use_arrow_udfs=use_arrow_udfs, rules=rules).select(
+        *DECISION_COLS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -158,10 +165,10 @@ def metrics(annotated: DataFrame, table_name: str = "pages") -> list[RuleResult]
 # ---------------------------------------------------------------------------
 
 
-def decisions_sql(pages_rel: str) -> str:
+def decisions_sql(pages_rel: str, rules: tuple | None = None) -> str:
     """Full oracle SELECT over a pages relation (table or CTE name)."""
-    hits = heuristics.hit_sqls("text", "lang")
-    severities = heuristics.all_rule_severities()
+    hits = heuristics.hit_sqls("text", "lang", rules)
+    severities = heuristics.all_rule_severities(rules)
     drop_names = sorted(
         n for n, s in severities.items() if s in DROP_SEVERITIES
     )

@@ -159,34 +159,50 @@ PII_RULES: tuple[tuple[str, Severity], ...] = (
 )
 
 
-def all_rule_severities() -> dict[str, Severity]:
-    out = {r.name: r.severity for r in DEFAULT_RULES if r.enabled}
+def all_rule_severities(
+    rules: tuple[HRule, ...] | None = None,
+) -> dict[str, Severity]:
+    out = {r.name: r.severity for r in (rules or DEFAULT_RULES) if r.enabled}
     out.update(dict(PII_RULES))
     return out
 
 
-def drop_rule_names() -> tuple[str, ...]:
+def drop_rule_names(rules: tuple[HRule, ...] | None = None) -> tuple[str, ...]:
     return tuple(
         name
-        for name, sev in all_rule_severities().items()
+        for name, sev in all_rule_severities(rules).items()
         if sev in DROP_SEVERITIES
     )
 
 
-def hit_cols(text_col: str = "text", claimed_lang: str = "lang") -> dict[str, Column]:
-    """All rule-hit Columns (assumes feature columns already present)."""
+def hit_cols(
+    text_col: str = "text",
+    claimed_lang: str = "lang",
+    rules: tuple[HRule, ...] | None = None,
+) -> dict[str, Column]:
+    """All rule-hit Columns (assumes feature columns already present).
+    ``rules`` overrides the default registry — the reference's
+    parameterized-rule surface (ValidationRule.parameters)."""
     hits: dict[str, Column] = {
-        r.name: r.hit_col(claimed_lang) for r in DEFAULT_RULES if r.enabled
+        r.name: r.hit_col(claimed_lang)
+        for r in (rules or DEFAULT_RULES)
+        if r.enabled
     }
     for key, _sev in PII_RULES:
         hits[key] = pii.hit_col(F.col(text_col), key)
     return hits
 
 
-def hit_sqls(text: str = "text", claimed_lang: str = "lang") -> dict[str, str]:
+def hit_sqls(
+    text: str = "text",
+    claimed_lang: str = "lang",
+    rules: tuple[HRule, ...] | None = None,
+) -> dict[str, str]:
     feats = features_sql(text)
     hits = {
-        r.name: r.hit_sql(feats, claimed_lang) for r in DEFAULT_RULES if r.enabled
+        r.name: r.hit_sql(feats, claimed_lang)
+        for r in (rules or DEFAULT_RULES)
+        if r.enabled
     }
     for key, _sev in PII_RULES:
         hits[key] = pii.hit_sql(text, key)

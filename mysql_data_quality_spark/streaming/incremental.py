@@ -63,3 +63,54 @@ def start_filter_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_windowed_metrics_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "qf_windowed_metrics",
+):
+    """Event-time rule-hit metrics: tumbling windows over ``warc_ts`` with a
+    watermark for late pages — the Structured-Streaming analogue of the
+    per-run metrics table (kept/dropped counts per crawl-time window).
+
+    Late data beyond the watermark is dropped from the aggregation state;
+    state size is bounded by (windows in flight) x (constant columns) —
+    the property that matters when this runs forever at crawl scale.
+    Sink is the in-memory table ``query_name`` (tests/demo) — swap for a
+    parquet/Iceberg sink in production.
+    """
+    from pyspark.sql import functions as F
+
+    from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+    stream = stream_pages(spark, input_dir)
+    ann = QF.annotate(stream)
+    agg = (
+        ann.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("hit_toxicity_blocklist").cast("long")).alias(
+                "n_toxic"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_kept",
+            "n_toxic",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

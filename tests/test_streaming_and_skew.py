@@ -30,6 +30,28 @@ class TestStreaming:
         for c in batch.columns:
             assert (streamed[c].values == batch[c].values).all(), c
 
+    def test_windowed_metrics_with_watermark(self, spark, tmp_path):
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        pages.write.parquet(in_dir)
+        q = incremental.start_windowed_metrics_stream(
+            spark, in_dir, str(tmp_path / "ckpt"), query_name="wm_test"
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from wm_test").toPandas()
+        # append mode emits only watermark-closed windows; batch totals
+        # bound them from above
+        batch = QF.annotate(pages)
+        from pyspark.sql import functions as F
+
+        totals = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        ).collect()[0]
+        assert 0 < got["n_docs"].sum() <= totals["n"]
+        assert got["n_kept"].sum() <= totals["k"]
+        assert (got["n_kept"] <= got["n_docs"]).all()
+
     def test_stream_restart_no_reprocess(self, spark, tmp_path):
         pages = P.read_pages(spark, SF_SMOKE)
         in_dir = str(tmp_path / "in")
