@@ -10,7 +10,13 @@ Keeping both in one module is what guarantees the Spark plan and the DuckDB
 oracle can never drift.
 
 Tokenization contract (identical in both dialects):
-  tokens(text) = non-empty pieces of trim(text) split on /\\s+/.
+  tokens(text) = non-empty pieces of trim(text) split on runs of the
+  EXPLICIT ASCII whitespace class [ \\t\\n\\x0B\\f\\r].
+
+Never use the ``\\s`` shorthand in cross-engine regexes: Java's \\s
+includes \\x0B (vertical tab), RE2's does not, and Python ``str.split()``
+adds the full Unicode whitespace set — three different tokenizations.
+The fuzz-parity suite (tests/test_fuzz_parity.py) guards this.
 """
 
 from __future__ import annotations
@@ -32,18 +38,22 @@ STOPWORDS: tuple[str, ...] = (
 # ---------------------------------------------------------------------------
 # tokens
 # ---------------------------------------------------------------------------
+#: explicit ASCII whitespace — identical under Java regex, RE2, and Python re
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens_col(text: Column) -> Column:
     """array<string> of non-empty whitespace-split tokens."""
     return F.filter(
-        F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
+        F.split(F.trim(F.coalesce(text, F.lit(""))), WS_RE),
         lambda t: F.length(t) > 0,
     )
 
 
 def tokens_sql(text: str) -> str:
     return (
-        f"list_filter(regexp_split_to_array(trim(coalesce({text}, '')), '\\s+'), "
-        "t -> len(t) > 0)"
+        f"list_filter(regexp_split_to_array(trim(coalesce({text}, '')), "
+        f"'{WS_RE}'), t -> len(t) > 0)"
     )
 
 
@@ -141,7 +151,7 @@ def distinct_fraction_sql(toks: str) -> str:
 # ---------------------------------------------------------------------------
 # symbol-to-word ratio: non-alphanumeric, non-space chars per word
 # ---------------------------------------------------------------------------
-SYMBOL_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+SYMBOL_RE = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
 
 def symbol_ratio_col(text: Column, toks: Column) -> Column:
@@ -150,7 +160,7 @@ def symbol_ratio_col(text: Column, toks: Column) -> Column:
     # (Spark 4.1 slow path); result length is identical either way
     sym = F.length(
         F.regexp_replace(
-            F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\r]+", ""
+            F.coalesce(text, F.lit("")), "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]+", ""
         )
     )
     n = F.size(toks)
@@ -162,7 +172,7 @@ def symbol_ratio_col(text: Column, toks: Column) -> Column:
 def symbol_ratio_sql(text: str, toks: str) -> str:
     sym = (
         f"length(regexp_replace(coalesce({text}, ''), "
-        "'[A-Za-z0-9 \\t\\n\\r]+', '', 'g'))"
+        "'[A-Za-z0-9 \\t\\n\\x0B\\f\\r]+', '', 'g'))"
     )
     return (
         f"case when len({toks}) > 0 then cast({sym} as double) "

@@ -27,16 +27,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mysql_data_quality_spark.functions.text import WS_RE
+
 
 def normalized_text_col(text: Column) -> Column:
     """Canonical normalization for exact dedup: lowercase + collapse
     whitespace + trim.  Mirrored in SQL by ``normalized_text_sql``."""
-    return F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), WS_RE, " ")
 
 
 def normalized_text_sql(text: str) -> str:
     return (
-        f"regexp_replace(lower(trim(coalesce({text}, ''))), '\\s+', ' ', 'g')"
+        f"regexp_replace(lower(trim(coalesce({text}, ''))), '{WS_RE}', ' ', 'g')"
     )
 
 
@@ -66,7 +68,7 @@ def exact_duplicate_groups(
 # ---------------------------------------------------------------------------
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     toks = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
         lambda t: F.length(t) > 0,
     )
     n = F.size(toks)
@@ -146,7 +148,7 @@ def shingle_jaccard_pairs_sql(
     """DuckDB oracle for :func:`shingle_jaccard_pairs` (no df cap)."""
     toks = (
         f"list_filter(regexp_split_to_array(trim(lower(coalesce({text_col}, ''))), "
-        "'\\s+'), t -> len(t) > 0)"
+        f"'{WS_RE}'), t -> len(t) > 0)"
     )
     return f"""
 with sh as (
@@ -306,7 +308,7 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
     toks = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
         lambda t: F.length(t) > 0,
     )
     return df.select(

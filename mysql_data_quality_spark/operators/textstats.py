@@ -20,7 +20,8 @@ from mysql_data_quality_spark.rules import langid
 
 #: BPE-ish subword token estimate: word-chunks plus digit runs plus
 #: punctuation, the common cheap proxy for tokenizer counts.
-BPE_ISH_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+# explicit whitespace class — \s differs between Java regex and RE2
+BPE_ISH_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def whitespace_token_count_col(text: Column) -> Column:

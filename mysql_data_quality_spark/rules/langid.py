@@ -21,10 +21,16 @@ re-expressed batched instead of the reference's per-row Python loop
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+# same explicit whitespace as the Column/SQL tokenizer — Python str.split()
+# would add the full Unicode whitespace set and diverge
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 
 # marker lexicons: small, collision-free (no word appears in two languages),
 # all >= 2 chars.  Tie-break = declaration order.
@@ -87,7 +93,9 @@ def _detect_batch(texts: pd.Series) -> pd.Series:
     """Batch scorer — same algorithm, for the pandas-UDF surface."""
     out = []
     for text in texts:
-        toks = {t.lower() for t in (text or "").split()}  # distinct tokens
+        toks = {
+            t.lower() for t in _WS.split(text or "") if t
+        }  # distinct tokens
         best_lang, best_score = UNDETERMINED, 0
         for lang in LANG_ORDER:
             s = len(toks & set(LANG_MARKERS[lang]))

@@ -22,6 +22,7 @@ batched instead of per-row.
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -109,10 +110,13 @@ def perplexity_sql(avg_logprob: str) -> str:
     return f"exp(-({avg_logprob}))"
 
 
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")  # match the Column/SQL tokenizer
+
+
 def _avg_logprob_batch(texts: pd.Series) -> pd.Series:
     out = []
     for text in texts:
-        toks = (text or "").split()
+        toks = [t for t in _WS.split(text or "") if t]
         if not toks:
             out.append(EMPTY_DOC_LOGP)
             continue
