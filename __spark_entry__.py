@@ -98,12 +98,12 @@ def _qf_rule_hit_totals_sql() -> str:
     drop_names = sorted(n for n, s in sev.items() if s in DROP_SEVERITIES)
     dropped = " or ".join(f"({hits[n]})" for n in drop_names)
     cols = ", ".join(
-        f"sum(case when {hits[n]} then 1 else 0 end) as hits_{n}" for n in names
+        f"cast(sum(case when {hits[n]} then 1 else 0 end) as bigint) as hits_{n}" for n in names
     )
     return (
         _PAGES_CTE
         + f"select count(*) as n_docs, {cols}, "
-        + f"sum(case when {dropped} then 1 else 0 end) as n_dropped from pages"
+        + f"cast(sum(case when {dropped} then 1 else 0 end) as bigint) as n_dropped from pages"
     )
 
 
@@ -125,7 +125,7 @@ def _qf_keep_by_lang_sql() -> str:
     return (
         _PAGES_CTE
         + "select lang, count(*) as n_docs, "
-        + f"sum(case when {keep} then 1 else 0 end) as n_kept "
+        + f"cast(sum(case when {keep} then 1 else 0 end) as bigint) as n_kept "
         + "from pages group by lang"
     )
 
@@ -150,7 +150,7 @@ def _completeness_orders_sql() -> str:
         "o_orderpriority"
     ).split()
     sums = ", ".join(
-        f"sum(case when {c} is null then 1 else 0 end) as nulls_{c}"
+        f"cast(sum(case when {c} is null then 1 else 0 end) as bigint) as nulls_{c}"
         for c in cols
     )
     return f"select count(*) as total_rows, {sums} from orders"
@@ -244,9 +244,9 @@ def _pattern_source_format_sql() -> str:
     nullish = "(source is null or source = '')"
     return (
         "select count(*) as total_rows, "
-        f"sum(case when not {nullish} and {valid} then 1 else 0 end) as valid_count, "
-        f"sum(case when not {nullish} and not {valid} then 1 else 0 end) as invalid_count, "
-        f"sum(case when {nullish} then 1 else 0 end) as null_count "
+        f"cast(sum(case when not {nullish} and {valid} then 1 else 0 end) as bigint) as valid_count, "
+        f"cast(sum(case when not {nullish} and not {valid} then 1 else 0 end) as bigint) as invalid_count, "
+        f"cast(sum(case when {nullish} then 1 else 0 end) as bigint) as null_count "
         "from documents"
     )
 
@@ -578,9 +578,9 @@ def _events_sessionize(spark, sf_dir):
 def _events_sessionize_sql() -> str:
     return """
 select user_id, event_id,
-       sum(new_sess) over (partition by user_id order by ts asc, event_id asc
-                           rows between unbounded preceding and current row)
-         as session_num
+       cast(sum(new_sess) over (partition by user_id order by ts asc,
+                                event_id asc rows between unbounded preceding
+                                and current row) as bigint) as session_num
 from (
   select user_id, event_id, ts,
          case when lag(ts) over (partition by user_id
@@ -710,8 +710,8 @@ def _pivot_order_priority(spark, sf_dir):
 def _pivot_order_priority_sql() -> str:
     pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     cols = ", ".join(
-        f"coalesce(sum(case when o_orderpriority = '{p}' then 1 else 0 end), 0)"
-        f" as p{p[0]}"
+        f"cast(coalesce(sum(case when o_orderpriority = '{p}' then 1 else 0 end), 0)"
+        f" as bigint) as p{p[0]}"
         for p in pris
     )
     return f"select o_orderstatus, {cols} from orders group by o_orderstatus"
