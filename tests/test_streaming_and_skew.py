@@ -67,6 +67,32 @@ class TestStreaming:
         assert spark.read.parquet(out_dir).count() == n1
 
 
+class TestStatefulDedup:
+    def test_first_seen_across_batches(self, spark, tmp_path):
+        from mysql_data_quality_spark.streaming import stateful
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # batch 1: half the corpus; write as its own file drop
+        first_half = pages.where("length(url) % 2 = 0")
+        first_half.write.mode("append").parquet(in_dir)
+        q = stateful.start_first_seen_stream(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 == first_half.count()
+
+        # batch 2: FULL corpus re-dropped (all of batch 1 are re-crawls)
+        pages.write.mode("append").parquet(in_dir)
+        q2 = stateful.start_first_seen_stream(spark, in_dir, out_dir, ckpt)
+        q2.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        # every url exactly once, despite the overlap
+        assert out.count() == pages.count()
+        assert out.select("url").distinct().count() == pages.count()
+
+
 class TestSkew:
     @pytest.fixture(scope="class")
     def skewed(self, spark):
