@@ -9,15 +9,28 @@ Design (idempotent-partition-overwrite + bookkeeping, SURVEY.md §4.2):
   * the corpus is bucketed by ``pmod(xxhash64(url), n_buckets)`` — a pure
     function of the row, so bucket membership is identical across runs,
     partitionings, and cluster sizes;
-  * output is written bucket-partitioned (``partitionBy("bucket")``) with
-    dynamic partition overwrite, so re-writing a bucket is idempotent;
-  * a lineage table (one row per completed bucket: rows, kept, written_at)
-    is committed AFTER each bucket group's data lands — crash between data
-    and lineage just re-does that group;
+  * ONE write job per run covers every missing bucket
+    (``partitionBy("bucket")`` + dynamic partition overwrite), so the input
+    is scanned once per run — not once per bucket group.  Re-writing a
+    bucket is idempotent because the pipeline is a pure map of the row;
+  * lineage (one row per bucket: rows, kept, written_at) is computed from
+    the files just written — a partition-pruned read of only (bucket, keep)
+    — never by re-executing the upstream plan, so the counts describe the
+    data that actually landed, and a second full pipeline pass is avoided;
+  * lineage is committed in groups of ``group_size`` buckets AFTER the data
+    lands; a crash between data and lineage just re-writes the uncommitted
+    buckets (idempotent).  Buckets that produced zero rows still get a
+    lineage record (rows=0) — otherwise sparse buckets would be re-run on
+    every resume, forever;
   * resume = read lineage, process only missing buckets.
 
-At 100 TB you'd set n_buckets in the thousands and process groups of
-buckets per job; bucket grouping bounds both task count and re-do cost.
+100 TB notes: n_buckets in the thousands; one run = one input pass.  If a
+single mega-job's re-do cost on failure is too coarse, set
+``max_buckets_per_scan`` to split a run into a few passes (explicit
+trade-off: k passes over the source for k× smaller re-do units).  Because
+``bucket`` is computed from the row, the source filter cannot prune files;
+store the source physically partitioned/bucketed by the same hash if
+re-runs over a subset must avoid full scans.
 """
 
 from __future__ import annotations
@@ -65,63 +78,97 @@ class CheckpointedWriter:
             tmp.write_text(json.dumps(rec))
             tmp.rename(final)  # atomic commit
 
+    # -- stats from the WRITTEN files (never the upstream plan) ------------
+    def _written_stats(self, spark: SparkSession, buckets: list[int]) -> dict:
+        """{bucket: (rows, kept)} read back from the just-written partition
+        directories — partition-pruned, reads only the ``keep`` column."""
+        if not self.data_dir.exists():
+            return {}
+        try:
+            written = spark.read.parquet(str(self.data_dir))
+        except Exception:  # all-empty output: nothing but _SUCCESS on disk
+            return {}
+        rows = (
+            written
+            .where(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+            )
+            .collect()
+        )
+        return {int(r["bucket"]): (int(r["rows"]), int(r["kept"] or 0)) for r in rows}
+
     # -- write --------------------------------------------------------------
     def run(
         self,
         df: DataFrame,
         group_size: int = 4,
         fail_after_groups: int | None = None,
+        max_buckets_per_scan: int | None = None,
     ) -> dict:
-        """Write ``df`` (must contain `keep`) bucket by bucket group.
+        """Write ``df`` (must contain `keep`), all missing buckets per scan.
 
-        ``fail_after_groups`` injects a crash for the resume test.
-        Returns run stats.  Already-completed buckets are skipped, so
-        re-running after a crash converges to the identical final table.
+        ``fail_after_groups`` injects a crash for the resume test (crash
+        happens after that many lineage commit groups; ``0`` crashes before
+        anything is written).  Returns run stats.  Already-completed buckets
+        are skipped, so re-running after a crash converges to the identical
+        final table.
         """
         spark = df.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if fail_after_groups == 0:
+            raise RuntimeError("injected crash after 0 groups (resume test)")
         bdf = with_bucket(df, self.key, self.n_buckets)
         done = self.completed_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
-        groups = [
-            todo[i : i + group_size] for i in range(0, len(todo), group_size)
-        ]
+        chunk = max_buckets_per_scan or len(todo) or 1
+        scans = 0
+        committed_groups = 0
         written = 0
-        for gi, group in enumerate(groups):
-            if fail_after_groups is not None and gi >= fail_after_groups:
-                raise RuntimeError(
-                    f"injected crash after {gi} groups (resume test)"
+        for ci in range(0, len(todo), chunk):
+            batch = todo[ci : ci + chunk]
+            # ONE job: pipeline scan → bucket-partitioned dynamic overwrite
+            bdf.where(F.col("bucket").isin(batch)).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(str(self.data_dir))
+            scans += 1
+            # lineage from what landed; every bucket in the batch gets a
+            # record (rows=0 for buckets that produced no output files)
+            stats = self._written_stats(spark, batch)
+            groups = [
+                batch[i : i + group_size]
+                for i in range(0, len(batch), group_size)
+            ]
+            for group in groups:
+                if (
+                    fail_after_groups is not None
+                    and committed_groups >= fail_after_groups
+                ):
+                    raise RuntimeError(
+                        f"injected crash after {committed_groups} groups "
+                        "(resume test)"
+                    )
+                now = time.time()
+                self._commit_lineage(
+                    [
+                        {
+                            "bucket": b,
+                            "rows": stats.get(b, (0, 0))[0],
+                            "kept": stats.get(b, (0, 0))[1],
+                            "written_at": now,
+                        }
+                        for b in group
+                    ]
                 )
-            part = bdf.where(F.col("bucket").isin(group))
-            part.write.mode("overwrite").partitionBy("bucket").parquet(
-                str(self.data_dir)
-            )
-            stats = (
-                part.groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("keep").cast("long")).alias("kept"),
-                )
-                .collect()
-            )
-            self._commit_lineage(
-                [
-                    {
-                        "bucket": int(r["bucket"]),
-                        "rows": int(r["rows"]),
-                        "kept": int(r["kept"]),
-                        "written_at": time.time(),
-                    }
-                    for r in stats
-                ]
-            )
-            written += len(group)
+                committed_groups += 1
+                written += len(group)
         return {
             "n_buckets": self.n_buckets,
             "skipped": len(done),
             "written": written,
+            "input_scans": scans,
         }
 
     def read(self, spark: SparkSession) -> DataFrame:
