@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 # generalized from the reference's phone_br (patterns.py:46-50): optional
-# (DD) area code, 4-5 digit prefix, mandatory hyphen, 4 digit suffix
-PHONE_RE = r"(\(\d{2}\)\s?)?\b\d{4,5}-\d{4}\b"
+# (DD) area code, 4-5 digit prefix, mandatory hyphen, 4 digit suffix.
+# NB: explicit whitespace class, not \s — Java \s matches \x0B but RE2
+# (the DuckDB oracle) \s does not, which would break byte-identity for
+# '(12)\x0B1234-5678'-shaped input.  [ \t\n\x0B\f\r] IS Java's \s.
+PHONE_RE = r"(\(\d{2}\)[ \t\n\x0B\f\r]?)?\b\d{4,5}-\d{4}\b"
 BLOCKLIST_TERMS: tuple[str, ...] = ("badword1", "badword2", "badword3")
 BLOCKLIST_RE = r"(?i)\b(" + "|".join(BLOCKLIST_TERMS) + r")\b"
 

@@ -3,9 +3,15 @@
 The reference is batch-only (SURVEY.md §2.7); the north rule's pipeline is
 resumable checkpointed batch.  This module adds the *optional* streaming
 surface: new page files land in a directory → the SAME rule plan
-(:func:`quality_filter.annotate`) is applied incrementally → decisions are
-appended, exactly-once per micro-batch via ``foreachBatch`` +
-Spark streaming checkpoints.
+(:func:`quality_filter.annotate`) is applied incrementally → decisions land
+in a ``batch_id``-partitioned table via ``foreachBatch``.
+
+``foreachBatch`` is only *at-least-once*: a crash between the sink write
+and the streaming checkpoint commit replays the whole micro-batch.  The
+writer is therefore made idempotent by partitioning on ``batch_id`` with
+dynamic partition overwrite — a replayed batch rewrites exactly its own
+partition instead of appending duplicates, so the end-to-end result is
+effectively exactly-once.
 
 Because ``annotate`` is a pure per-row map, the streaming and batch paths
 produce byte-identical decisions for identical input rows — the batch tests
@@ -46,16 +52,28 @@ def start_filter_stream(
     output_dir: str,
     checkpoint_dir: str,
 ):
-    """Run the quality filter incrementally; append decisions as parquet.
+    """Run the quality filter incrementally; decisions land as parquet
+    partitioned by ``batch_id``.
 
-    ``foreachBatch`` gives the batch writer (and its exactly-once batch-id
-    bookkeeping) while keeping the transformation identical to the batch
-    path — no separate streaming implementation of the rules to drift.
+    ``foreachBatch`` keeps the transformation identical to the batch path
+    (no separate streaming implementation of the rules to drift), and the
+    ``batch_id``-partitioned dynamic overwrite makes the at-least-once
+    replay idempotent: re-delivering batch N rewrites partition
+    ``batch_id=N`` in place rather than appending duplicates.
     """
+    from pyspark.sql import functions as F
+
     stream = stream_pages(spark, input_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        QF.decisions(batch_df).write.mode("append").parquet(output_dir)
+        (
+            QF.decisions(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -5,10 +5,23 @@ must not re-emit decisions).
 
 Shape: pages are grouped by a bounded key space (``pmod(xxhash64(url),
 n_state_buckets)``) so state partitioning is stable and each state row
-holds one bucket's seen-set.  State per bucket is the md5 set of seen urls
-(16 bytes/url; at crawl scale you would swap the exact set for a Bloom
-filter serialized into the same state column — the operator shape is
-identical).  Arrow-batched: the user function sees pandas DataFrames.
+holds one bucket's seen-set.  "First" is temporal: each micro-batch is
+sorted by (warc_ts, url) before picking firsts, so a re-crawl that happens
+to arrive earlier in Arrow batch order never beats an older capture.
+
+State-growth contract (read before running this unbounded):
+  * state per bucket is the EXACT md5 set of seen urls, rewritten each
+    micro-batch — serialization cost is O(total distinct urls / bucket)
+    and grows without bound (NoTimeout, no eviction).  That is the right
+    trade for bounded backfills (this sandbox's tests); for an unbounded
+    crawl, swap the set for a Bloom filter serialized into the same state
+    column (operator shape identical, accepting a false-positive drop
+    rate), or add TTL via ``timeoutConf`` if "seen" may expire.
+  * ``n_state_buckets`` caps shuffle parallelism for the stateful stage —
+    size it to at least the cluster's total cores (the default 16 suits
+    local test runs, not a 1000-executor cluster).
+
+Arrow-batched: the user function sees pandas DataFrames.
 """
 
 from __future__ import annotations
@@ -46,7 +59,14 @@ def _dedup_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
-    for pdf in batches:
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # "first crawl wins" is temporal: order by (warc_ts, url), not by
+        # Arrow-batch arrival order (stable sort keeps ties deterministic)
+        pdf = pdf.sort_values(
+            ["warc_ts", "url"], kind="mergesort", ignore_index=True
+        )
         hashes = pdf["url"].map(_md5)
         fresh = ~hashes.isin(seen) & ~hashes.duplicated()
         seen.update(hashes[fresh])

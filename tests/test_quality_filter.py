@@ -100,6 +100,9 @@ class TestEdgeCases:
             ("u5", None, None, "the " * 50000, "en"),
             ("u6", None, None,
              "mail me: x@y.co or (11) 91234-5678 at 10.0.0.1 badword2", "en"),
+            # \x0B between area code and number: Java \s matches it, RE2 \s
+            # does not — PHONE_RE must use the explicit class (ADVICE r1)
+            ("u7", None, None, "ring (12)\x0b1234-5678 ok", "en"),
         ]
         df = spark.createDataFrame(rows, PAGES_SCHEMA)
         out = {r.url: r for r in QF.decisions(df).collect()}
@@ -112,6 +115,7 @@ class TestEdgeCases:
             "mail me: <EMAIL> or <PHONE> at <IP> <BLOCKED>"
         )
         assert "toxicity_blocklist" in out["u6"].drop_reason
+        assert out["u7"].scrubbed_text == "ring <PHONE> ok"
 
     def test_html_never_read(self, spark, pages):
         """Column pruning: the filter plan must not read the html column
