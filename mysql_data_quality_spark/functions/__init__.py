@@ -1,3 +1,3 @@
-from mysql_data_quality_spark.functions import text, checkdigits, hashing, similarity
+from mysql_data_quality_spark.functions import checkdigits, text
 
-__all__ = ["text", "checkdigits", "hashing", "similarity"]
+__all__ = ["text", "checkdigits"]

@@ -1,3 +1,5 @@
+from mysql_data_quality_spark.reports.html_report import write_html_report
+from mysql_data_quality_spark.reports.manager import write_unified_report
 from mysql_data_quality_spark.reports.summary import (
     analyze_results,
     quality_score_band,
@@ -12,4 +14,6 @@ __all__ = [
     "top_issues",
     "write_json_report",
     "write_text_report",
+    "write_html_report",
+    "write_unified_report",
 ]

@@ -34,11 +34,12 @@ def write_html_report(
     results: List[RuleResult],
     table_name: str,
     output_dir: str | Path,
+    base_name: str | None = None,
 ) -> Path:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
-    path = out / f"quality_report_{table_name}_{ts}.html"
+    path = out / f"{base_name or f'quality_report_{table_name}_{ts}'}.html"
 
     summary = analyze_results(results)
     band = quality_score_band(summary["success_rate"])

@@ -109,12 +109,13 @@ def write_json_report(
     table_name: str,
     output_dir: str | Path,
     metadata: Optional[Dict[str, Any]] = None,
+    base_name: Optional[str] = None,
 ) -> Path:
     """Timestamped JSON report (reference reports/json_report.py:15-47)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
-    path = out / f"quality_report_{table_name}_{ts}.json"
+    path = out / f"{base_name or f'quality_report_{table_name}_{ts}'}.json"
     payload = {
         "table_name": table_name,
         "generated_at": datetime.now(timezone.utc).isoformat(),
@@ -133,12 +134,13 @@ def write_text_report(
     results: List[RuleResult],
     table_name: str,
     output_dir: str | Path,
+    base_name: Optional[str] = None,
 ) -> Path:
     """Plain-text summary (reference reports/summary_report.py:14-134)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
-    path = out / f"quality_summary_{table_name}_{ts}.txt"
+    path = out / f"{base_name or f'quality_summary_{table_name}_{ts}'}.txt"
     summary = analyze_results(results)
     lines = [
         "=" * 50,

@@ -60,6 +60,57 @@ def _read_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("header", "true").csv(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """SQL-database source — the Spark analogue of the reference's five
+    dialect connectors (``/root/reference/src/data_quality/connectors/
+    factory.py:16-46``; mysql/postgresql/oracle/sqlite/sqlserver each built
+    a SQLAlchemy engine).  Spark's JDBC DataSource is the dialect layer:
+    the ``url`` scheme picks the dialect, ``driver`` the class.
+
+    Scale note: without ``partition_column`` the whole table is read by ONE
+    task; always pass (partition_column, lower_bound, upper_bound,
+    num_partitions) for any table that matters so the scan parallelizes
+    into range-pruned queries per executor."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions or 8))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+@register_reader("jdbc")
+def _read_jdbc_spec(spark: SparkSession, spec: str) -> DataFrame:
+    """Registry entry: ``spec`` is ``<jdbc-url>::<table>`` (the factory
+    signature is (spark, str); use :func:`read_jdbc` directly for
+    partitioned reads and driver/dialect options)."""
+    url, sep, table = spec.rpartition("::")
+    if not sep or not url.startswith("jdbc:"):
+        raise UnknownFormatError(
+            "jdbc spec must be '<jdbc-url>::<table>', got: " + spec
+        )
+    return read_jdbc(spark, url, table)
+
+
 @register_reader("iceberg")
 def _read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg table read — requires an Iceberg catalog in the session

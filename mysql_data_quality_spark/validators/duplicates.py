@@ -58,7 +58,13 @@ class DuplicatesValidator:
         force_patterns: tuple[str, ...] = DEFAULT_FORCE_PATTERNS,
         approx: bool = False,
         sample_limit: int = 10,
+        force_columns: tuple[str, ...] = (),
+        allow_columns: tuple[str, ...] = (),
     ) -> None:
+        """``force_columns`` / ``allow_columns`` are exact (case-sensitive)
+        column names that override the substring heuristics — the reference's
+        FORCE_UNIQUE_COLUMNS / ALLOW_DUPLICATE_COLUMNS env lists
+        (.env.example:33-37, duplicates.py:431-460)."""
         self._rules: List[Rule] = [
             Rule(
                 name="default_duplicates",
@@ -70,6 +76,8 @@ class DuplicatesValidator:
         ]
         self.skip_patterns = skip_patterns
         self.force_patterns = force_patterns
+        self.force_columns = force_columns
+        self.allow_columns = allow_columns
         self.approx = approx
         self.sample_limit = sample_limit
 
@@ -80,7 +88,12 @@ class DuplicatesValidator:
         return list(self._rules)
 
     def should_skip_column(self, column_name: str) -> bool:
-        """Name-heuristic binding (reference duplicates.py:431-460)."""
+        """Name-heuristic binding (reference duplicates.py:431-460).
+        Exact-name lists win over substring patterns; force wins over allow."""
+        if column_name in self.force_columns:
+            return False
+        if column_name in self.allow_columns:
+            return True
         low = column_name.lower()
         if any(p in low for p in self.force_patterns):
             return False

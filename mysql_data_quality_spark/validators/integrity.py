@@ -25,7 +25,51 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysql_data_quality_spark.core.types import Rule, RuleResult
+from mysql_data_quality_spark.core.types import Rule, RuleResult, Severity
+
+
+def rules_from_metadata(fk_specs: Sequence[dict]) -> List[Rule]:
+    """Auto-generate FK rules from declarative metadata — the Spark-side
+    analogue of the reference's ``information_schema.KEY_COLUMN_USAGE``
+    auto-discovery (``integrity.py:306-362``, ``connectors/mysql.py:69-91``).
+
+    Each spec mirrors one KEY_COLUMN_USAGE row::
+
+        {"column_name": "o_custkey", "referenced_table_name": "customer",
+         "referenced_column_name": "c_custkey",
+         "constraint_name": "fk_orders_customer"}     # optional extras:
+        {"allow_nulls": False, "severity": Severity.ERROR}
+
+    There is no live information_schema in a lakehouse; the spec list comes
+    from wherever the catalog keeps FK facts (Iceberg table properties, a
+    dbt manifest, a metadata service) — the rule construction is identical.
+    """
+    rules: List[Rule] = []
+    for spec in fk_specs:
+        col = spec["column_name"]
+        ref_table = spec["referenced_table_name"]
+        ref_col = spec["referenced_column_name"]
+        constraint = spec.get(
+            "constraint_name", f"fk_{col}_{ref_table}_{ref_col}"
+        )
+        rules.append(
+            Rule(
+                name=f"auto_fk_{constraint}",
+                description=(
+                    f"Auto-discovered foreign key: {col} -> "
+                    f"{ref_table}.{ref_col}"
+                ),
+                severity=spec.get("severity", Severity.ERROR),
+                parameters={
+                    "foreign_key": col,
+                    "reference_table": ref_table,
+                    "reference_column": ref_col,
+                    "allow_nulls": spec.get("allow_nulls", True),
+                },
+                family="integrity",
+            )
+        )
+    return rules
 
 
 class IntegrityValidator:
