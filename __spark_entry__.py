@@ -449,7 +449,10 @@ from part group by p_brand
 
 def _dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    g = dedup.exact_duplicate_groups(docs, "doc_id", "text")
+    # explicit None: the oracle lists ALL ids; production default caps at 100
+    g = dedup.exact_duplicate_groups(
+        docs, "doc_id", "text", max_ids_per_group=None
+    )
     return g.select(
         "text_md5",
         "dup_count",
@@ -470,8 +473,10 @@ from documents group by 1 having count(*) > 1
 
 def _jaccard_pairs_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # explicit None: the oracle counts ALL shingles; production default
+    # caps hot-shingle document frequency at 1000
     return dedup.shingle_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.6
+        docs, "doc_id", "text", k=3, threshold=0.6, max_shingle_df=None
     )
 
 
@@ -751,6 +756,34 @@ def _simhash_pairs_docs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def _lsh_cosine_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (scale path for ann_cosine_topk);
+    bucket membership is engine-specific, so rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.lsh_cosine_topk(emb, queries, dim=64, k=10, bits=4, tables=8)
+
+
+def _embedding_lsh_near_pairs(spark, sf_dir):
+    """Bucketed all-pairs near-dup (scale path; embedding_near_pairs is its
+    O(n²) tiny-scale oracle); rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_near_pairs(emb, dim=64, threshold=0.4)
+
+
+def _salted_group_count(spark, sf_dir):
+    """Two-phase skew-safe groupBy count — result is identical to a direct
+    groupBy, so it IS oracle-checkable."""
+    from mysql_data_quality_spark.operators import skew
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew.salted_group_count(
+        orders, "o_orderpriority", "o_orderkey", n_salts=8
+    )
+
+
 def _qf_decisions_arrow(spark, sf_dir):
     """Same decisions via the Arrow pandas-UDF scoring path."""
     return QF.decisions(_pages(spark, sf_dir), use_arrow_udfs=True)
@@ -796,7 +829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,
         "quality_band_histogram": _quality_band_histogram,
+        "salted_group_count": _salted_group_count,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
+        "lsh_cosine_topk": _lsh_cosine_topk,
+        "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "approx_distinct_profile": _approx_distinct_profile,
@@ -858,4 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _lang_distribution_sql(),
         "quality_scores": _quality_scores_sql(),
         "quality_band_histogram": _quality_band_histogram_sql(),
+        "salted_group_count": (
+            "select o_orderpriority, count(*) as n_rows "
+            "from orders group by o_orderpriority"
+        ),
     }

@@ -128,11 +128,22 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ),
     )
 
+    clock(
+        "simhash_pairs",
+        lambda: _force(
+            dedup.simhash_near_pairs(docs_raw, "doc_id", "text", max_hamming=8)
+        ),
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     clock("ann_cosine_topk", lambda: _force(ann.cosine_topk(emb, queries, k=10)))
+    clock(
+        "lsh_near_pairs",
+        lambda: _force(ann.lsh_near_pairs(emb, dim=64, threshold=0.4)),
+    )
 
     # relational headliners at the raw sf tables
     clock("q1", lambda: _force(entry._q1_pricing_summary(spark, sf_dir)))

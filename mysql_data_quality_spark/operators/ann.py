@@ -128,6 +128,20 @@ def signature_col(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Colu
     return sig
 
 
+def _bucket_array(vec: Column, dim: int, bits: int, tables: int) -> Column:
+    """array<struct<tbl,bkt>> — one hyperplane-LSH bucket per table, with
+    per-table independent hyperplane seeds."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                signature_col(vec, dim, bits, seed=42 + 1000 * t).alias("bkt"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,17 +162,7 @@ def lsh_cosine_topk(
     The bucket join shuffles only (table_id, bucket, id) — tiny keys."""
 
     def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    signature_col(vec, dim, bits, seed=42 + 1000 * t).alias(
-                        "bkt"
-                    ),
-                )
-                for t in range(tables)
-            ]
-        )
+        return _bucket_array(vec, dim, bits, tables)
 
     c = (
         corpus.select(
@@ -190,4 +194,55 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def lsh_near_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.6,
+    bits: int = 4,
+    tables: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs embedding near-dup: (ia, ib, cosine) for pairs
+    with cosine >= threshold — the scale path that replaces the O(n²)
+    crossJoin (kept as `embedding_near_pairs`, this operator's tiny-scale
+    oracle).
+
+    Plan: explode each vector into ``tables`` hyperplane buckets carrying
+    ONLY (tbl, bkt, id) — the wide embedding never rides the candidate
+    join; a self-join on (tbl, bkt) yields candidates, which are joined
+    back to the vectors by id for an exact cosine re-rank.  Shuffle volume
+    is O(n·tables·(id+bucket)) + O(candidates·id), sub-quadratic as long
+    as buckets stay selective.
+
+    Recall for a pair at cosine c: 1 - (1 - p^bits)^tables with
+    p = 1 - arccos(c)/π; the defaults (4 bits × 24 tables) give ≥0.98 for
+    c ≥ 0.4.  Raise ``bits`` (selectivity) and ``tables`` (recall) together
+    at larger corpus sizes."""
+    ids = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    banded = ids.select(
+        "vec_id", F.explode(_bucket_array(F.col("vec"), dim, bits, tables)).alias("b")
+    ).select("vec_id", "b.tbl", "b.bkt")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["tbl", "bkt"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .dropDuplicates(["ia", "ib"])
+    )
+    va = ids.select(F.col("vec_id").alias("ia"), F.col("vec").alias("ea"))
+    vb = ids.select(F.col("vec_id").alias("ib"), F.col("vec").alias("eb"))
+    return (
+        cand.join(va, on="ia")
+        .join(vb, on="ib")
+        .withColumn("cosine", cosine_col(F.col("ea"), F.col("eb")))
+        .where(F.col("cosine") >= threshold)
+        .select("ia", "ib", "cosine")
     )

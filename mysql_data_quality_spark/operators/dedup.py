@@ -18,7 +18,8 @@ document-level near-dup detection at 100 TB scale:
     sub-quadratic path when all-pairs Jaccard is impossible;
   * :func:`simhash_signatures` / near-dup by Hamming distance.
 
-All are pure DataFrame ops except simhash's bit math (Arrow pandas UDF).
+All are pure DataFrame ops — JVM Column expressions end to end (simhash's
+bit math included); Python never touches a row.
 """
 
 from __future__ import annotations
@@ -43,23 +44,53 @@ def normalized_text_sql(text: str) -> str:
 
 
 def exact_duplicate_groups(
-    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+    max_ids_per_group: int | None = 100,
 ) -> DataFrame:
     """Groups of exact (optionally normalized) duplicate documents.
 
     Returns (text_md5, dup_count, doc_ids sorted).  The shuffle key is the
     md5, so 100 TB of text shuffles only ids+hashes.
+
+    ``max_ids_per_group`` caps the id sample per group (default 100): a
+    pathological mega-group (an empty page duplicated 10^9 times) must not
+    materialize a billion-element array in one aggregation buffer.  The
+    capped path ranks ids inside each group with a window sharing the same
+    hash partitioning, so the cap costs no extra shuffle; ``dup_count`` is
+    always the FULL group size.  Pass ``None`` for the exact full-list
+    output (tiny-scale oracle parity).
     """
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("text_md5"))
-        .groupBy("text_md5")
-        .agg(
-            F.count("*").alias("dup_count"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("text_md5")
+    )
+    if max_ids_per_group is None:
+        return (
+            hashed.groupBy("text_md5")
+            .agg(
+                F.count("*").alias("dup_count"),
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            )
+            .where(F.col("dup_count") > 1)
         )
-        .where(F.col("dup_count") > 1)
+    grp = Window.partitionBy("text_md5")
+    ranked = hashed.withColumns(
+        {
+            "rn": F.row_number().over(grp.orderBy("doc_id")),
+            "dup_count": F.count(F.lit(1)).over(grp),
+        }
+    )
+    return (
+        ranked.where(
+            (F.col("dup_count") > 1) & (F.col("rn") <= max_ids_per_group)
+        )
+        .groupBy("text_md5", "dup_count")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .select("text_md5", "dup_count", "doc_ids")
     )
 
 
@@ -90,17 +121,19 @@ def shingle_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All near-dup pairs with word-k-shingle Jaccard >= threshold.
 
-    Plan: shingle sets → explode → (optional hot-shingle drop) →
-    self-join on shingle → groupBy (a, b) to count the intersection →
-    Jaccard = inter / (|A| + |B| - inter).  ``max_shingle_df`` drops
-    shingles appearing in more than N docs — at web scale boilerplate
-    shingles ("click here to", navigation chrome) otherwise explode the
-    join; dropping them only *underestimates* Jaccard for boilerplate,
-    which is the desired bias.
+    Plan: shingle sets → explode → (hot-shingle drop) → self-join on
+    shingle → groupBy (a, b) to count the intersection → Jaccard =
+    inter / (|A| + |B| - inter).  ``max_shingle_df`` drops shingles
+    appearing in more than N docs — ON by default (1000): at web scale
+    boilerplate shingles ("click here to", navigation chrome) otherwise
+    contribute up to df²/2 join rows EACH and dominate the plan; dropping
+    them only *underestimates* Jaccard for boilerplate, which is the
+    desired bias.  Pass ``None`` for the exact all-shingles result
+    (tiny-scale oracle parity).
     """
     sh = _shingles(df, id_col, text_col, k).withColumn(
         "n_sh", F.size("shingles")
@@ -225,8 +258,11 @@ def minhash_lsh_pairs(
     agreement (estimate of Jaccard).
 
     rows_per_band = num_hashes / bands; two docs collide if any band of
-    their signatures is identical.  The band join shuffles on (band_id,
-    band_hash) — short keys, uniform distribution.
+    their signatures is identical.  The band join shuffles ONLY (band_id,
+    band_hash, doc_id) — the full ``sig`` array (num_hashes × 8 B) is
+    projected out before the explode+join and joined back per doc id for
+    scoring, so signature bytes move O(docs), not O(docs × bands).
+    At scale, persist ``sigs`` so the two scoring arms don't recompute it.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -249,8 +285,8 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sigs.select(
-        "doc_id", "sig", F.explode(band_arr).alias("b")
-    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        "doc_id", F.explode(band_arr).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -259,10 +295,20 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            on="doc_b",
+        )
     )
     agree = F.size(
         F.filter(
@@ -283,25 +329,46 @@ def minhash_lsh_pairs(
 # SimHash (Hamming-distance near-dup on token-hash bit vectors)
 # ---------------------------------------------------------------------------
 def simhash_col(toks: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of a token array, pure Column math: for each bit b,
-    bit = 1 iff sum over tokens of sign(bit b of xxhash64(token)) > 0."""
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+    """64-bit SimHash of a token array, pure Column math: bit b of the
+    signature is 1 iff sum over tokens of sign(bit b of xxhash64(token)) > 0.
+
+    Cost shape: each token is hashed ONCE (``transform`` + xxhash64), then a
+    single fold accumulates the per-bit ±1 counts in a ``bits``-slot array;
+    a final pass packs counts>0 into the signature long.  (The r1 version
+    ran ``bits`` separate folds, re-hashing every token in each —
+    O(bits × tokens) hash calls; this is O(tokens) hashes +
+    O(bits × tokens) single-bit ops on the cached hash.)"""
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def signs(h: Column) -> Column:
+        # ±1 per bit of the (already computed) 64-bit hash
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
         )
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(
-            bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    counts = F.aggregate(
+        hashed,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    pow2 = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)]
+    )
+    # disjoint bit positions: summing the selected powers == bitwise OR
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            pow2,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
 
 
 def simhash_signatures(

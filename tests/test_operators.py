@@ -79,6 +79,68 @@ class TestDedup:
         }
         assert (1, 2) in pairs
 
+    def test_exact_groups_id_cap(self, spark):
+        """Capped path: full dup_count, bounded id sample, same shuffle key."""
+        rows = [(i, "same text body") for i in range(300)] + [
+            (1000, "a singleton document")
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        g = dedup.exact_duplicate_groups(
+            df, "doc_id", "text", max_ids_per_group=50
+        ).collect()
+        assert len(g) == 1
+        assert g[0]["dup_count"] == 300  # full size, not the cap
+        assert g[0]["doc_ids"] == list(range(50))  # 50 smallest ids
+        # uncapped path unchanged
+        full = dedup.exact_duplicate_groups(
+            df, "doc_id", "text", max_ids_per_group=None
+        ).collect()
+        assert full[0]["doc_ids"] == list(range(300))
+
+    def test_simhash_matches_r1_spec(self, spark, near_dup_docs):
+        """The hash-once/fold-once rewrite must produce BIT-IDENTICAL
+        signatures to the r1 per-bit-fold formulation (kept here as the
+        executable spec)."""
+
+        def simhash_r1(toks, bits=64):
+            def bit_sum(b):
+                return F.aggregate(
+                    toks,
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+
+            out = F.lit(0).cast("long")
+            for b in range(bits):
+                out = out + F.when(
+                    bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        from mysql_data_quality_spark.functions.text import WS_RE
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .union(near_dup_docs.select("doc_id", "text"))
+        )
+        toks = F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS_RE
+            ),
+            lambda t: F.length(t) > 0,
+        )
+        cmp = docs.select(
+            dedup.simhash_col(toks).alias("new"),
+            simhash_r1(toks).alias("old"),
+        )
+        assert cmp.where(F.col("new") != F.col("old")).count() == 0
+
     def test_shingle_df_cap_drops_hot_shingles(self, spark):
         # 10 docs all share one boilerplate sentence; cap kills those pairs
         rows = [(i, f"unique text number {i} " + "click here to continue now")
@@ -124,6 +186,31 @@ class TestAnn:
         # self-match always survives (same bucket by construction)
         r1 = approx[approx["rank"] == 1]
         assert (r1["query_id"].values == r1["vec_id"].values).all()
+
+    def test_lsh_near_pairs_recall_vs_crossjoin(self, spark):
+        """Bucketed all-pairs (the scale path) must recover >=95% of the
+        exact crossJoin pairs at the oracle threshold, with exact cosines
+        (re-rank is exact, so no false positives and identical scores)."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+        exact = {
+            (r["ia"], r["ib"]): r["cosine"]
+            for r in a.crossJoin(b)
+            .where(F.col("ia") < F.col("ib"))
+            .withColumn("cosine", ann.cosine_col(F.col("ea"), F.col("eb")))
+            .where(F.col("cosine") >= 0.4)
+            .collect()
+        }
+        approx = {
+            (r["ia"], r["ib"]): r["cosine"]
+            for r in ann.lsh_near_pairs(emb, dim=64, threshold=0.4).collect()
+        }
+        assert set(approx) <= set(exact)  # no false positives
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} pairs"
+        for p, c in approx.items():
+            assert c == exact[p]  # bit-identical exact re-rank
 
 
 class TestMultimodal:
