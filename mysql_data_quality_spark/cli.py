@@ -116,20 +116,37 @@ def cmd_list_tables(args) -> int:
 
 
 def cmd_filter(args) -> int:
-    """Thin wrapper over scripts/run_pipeline.py behavior."""
+    """Run the checkpointed quality-filter pipeline.
+
+    Rule thresholds come from the environment (``core/config.py``:
+    ``.env`` + ``DQS_RULE_*``), and the per-rule metrics table is produced
+    by an ``observe()`` on the SAME write pass — no second pipeline
+    execution (written to ``<output>/metrics/``)."""
+    from mysql_data_quality_spark.core.config import load_dotenv, rules_from_env
     from mysql_data_quality_spark.pipeline import pages as P
     from mysql_data_quality_spark.pipeline import quality_filter as QF
     from mysql_data_quality_spark.pipeline.checkpoint import CheckpointedWriter
+    from mysql_data_quality_spark.reports import write_unified_report
 
+    load_dotenv()
+    rules = rules_from_env()
     with _Session(args.cores) as spark:
         pages = (
             spark.read.parquet(args.input)
             if args.input
             else P.read_pages(spark, args.documents)
         )
-        dec = QF.decisions(pages)
+        ann = QF.annotate(pages, rules=rules)
+        observed, obs = QF.observe_metrics(ann, rules=rules)
+        dec = observed.select(*QF.DECISION_COLS)
         writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
         stats = writer.run(dec, group_size=args.group_size)
+        if stats["input_scans"] > 0:  # observation fires with the write job
+            res = QF.metrics_from_observation(obs.get, rules=rules)
+            paths = write_unified_report(
+                res, "pages", Path(args.output) / "metrics"
+            )
+            stats["metrics_reports"] = {k: str(v) for k, v in paths.items()}
         print(json.dumps(stats))
         return 0
 

@@ -16,6 +16,8 @@ Both keep the whole hot path in Catalyst; Python appears nowhere per-row.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -128,6 +130,40 @@ def signature_col(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Colu
     return sig
 
 
+def signatures_pandas_udf(dim: int, bits: int, tables: int, seed: int = 42):
+    """Vectorized Arrow UDF computing ALL per-table LSH signatures at once:
+    one ``(batch × dim) @ (dim × tables·bits)`` numpy matmul per Arrow
+    batch, then sign + bit-pack — replacing ``tables × bits`` interpreted
+    per-row HOF dot-folds with BLAS.  Same hyperplanes as
+    :func:`signature_col` (deterministic, seed-derived); float64 matmul can
+    disagree with the JVM's sequential fold only on razor-edge zero dots,
+    which moves bucket membership (recall), never reported cosines."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, b, seed=seed + 1000 * t)
+            for t in range(tables)
+            for b in range(bits)
+        ],
+        dtype=np.float64,
+    ).T  # dim × (tables·bits)
+    pow2 = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(col.to_numpy()).astype(np.float64)  # n × dim
+        pos = (mat @ planes) >= 0  # n × (tables·bits)
+        packed = (
+            pos.reshape(len(mat), tables, bits) * pow2
+        ).sum(axis=2).astype(np.int64)  # n × tables
+        return pd.Series(list(packed))
+
+    return sig
+
+
 def _bucket_array(vec: Column, dim: int, bits: int, tables: int) -> Column:
     """array<struct<tbl,bkt>> — one hyperplane-LSH bucket per table, with
     per-table independent hyperplane seeds."""
@@ -211,23 +247,40 @@ def lsh_near_pairs(
     crossJoin (kept as `embedding_near_pairs`, this operator's tiny-scale
     oracle).
 
-    Plan: explode each vector into ``tables`` hyperplane buckets carrying
-    ONLY (tbl, bkt, id) — the wide embedding never rides the candidate
-    join; a self-join on (tbl, bkt) yields candidates, which are joined
-    back to the vectors by id for an exact cosine re-rank.  Shuffle volume
-    is O(n·tables·(id+bucket)) + O(candidates·id), sub-quadratic as long
-    as buckets stay selective.
+    Plan, in cost order:
+      1. one signature pass computes all ``tables`` per-table signatures
+         (array<long>) — the SAME array serves as LSH buckets (via
+         posexplode) and as a ``bits×tables``-bit Hamming sketch;
+      2. the candidate self-join on (tbl, bkt) carries ONLY (tbl, bkt, id)
+         — neither the embedding nor the sketch rides the join explosion;
+      3. candidates re-join the sketch by id and pass a cheap popcount
+         prefilter: est_cos = cos(π·hamming/total_bits) must clear
+         ``threshold − margin``.  Random collisions (est_cos ≈ 0) die here
+         for the price of ``tables`` xor+popcounts on longs, instead of a
+         ``dim``-float cosine each;
+      4. survivors re-join the vectors by id for the exact cosine re-rank
+         (so reported cosines are bit-identical to the crossJoin oracle).
 
     Recall for a pair at cosine c: 1 - (1 - p^bits)^tables with
     p = 1 - arccos(c)/π; the defaults (4 bits × 24 tables) give ≥0.98 for
-    c ≥ 0.4.  Raise ``bits`` (selectivity) and ``tables`` (recall) together
-    at larger corpus sizes."""
+    c ≥ 0.4.  The sketch estimator's θ̂ std is π·√(p(1-p)/total_bits) ≈
+    0.16 rad at 96 bits, so the default ``margin`` of 0.25 in cosine is a
+    >4σ guard — prefilter recall loss is negligible.  Raise ``bits``
+    (selectivity) and ``tables`` (recall + sketch precision) together at
+    larger corpus sizes."""
+    import math
+
+    total_bits = bits * tables
     ids = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    banded = ids.select(
-        "vec_id", F.explode(_bucket_array(F.col("vec"), dim, bits, tables)).alias("b")
-    ).select("vec_id", "b.tbl", "b.bkt")
+    sigs = ids.select(
+        "vec_id",
+        signatures_pandas_udf(dim, bits, tables)(F.col("vec")).alias("sig"),
+    )
+    banded = sigs.select(
+        "vec_id", F.posexplode("sig").alias("tbl", "bkt")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on=["tbl", "bkt"])
@@ -237,10 +290,29 @@ def lsh_near_pairs(
         )
         .dropDuplicates(["ia", "ib"])
     )
+    sa = sigs.select(F.col("vec_id").alias("ia"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("vec_id").alias("ib"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est_cos = F.cos(F.lit(math.pi) * hamming / F.lit(float(total_bits)))
+    margin = 0.25
+    pre = (
+        cand.join(sa, on="ia")
+        .join(sb, on="ib")
+        .where(est_cos >= F.lit(threshold - margin))
+        .select("ia", "ib")
+    )
     va = ids.select(F.col("vec_id").alias("ia"), F.col("vec").alias("ea"))
     vb = ids.select(F.col("vec_id").alias("ib"), F.col("vec").alias("eb"))
     return (
-        cand.join(va, on="ia")
+        pre.join(va, on="ia")
         .join(vb, on="ib")
         .withColumn("cosine", cosine_col(F.col("ea"), F.col("eb")))
         .where(F.col("cosine") >= threshold)

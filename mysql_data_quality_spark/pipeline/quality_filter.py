@@ -110,18 +110,65 @@ def decisions(
 # ---------------------------------------------------------------------------
 
 
-def metrics(annotated: DataFrame, table_name: str = "pages") -> list[RuleResult]:
+def _metric_aggs(severities: dict) -> list[Column]:
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.col(f"hit_{n}").cast("long")).alias(n) for n in severities
+    ]
+    aggs.append(F.sum((~F.col("keep")).cast("long")).alias("_dropped"))
+    return aggs
+
+
+def metrics(
+    annotated: DataFrame, table_name: str = "pages", rules: tuple | None = None
+) -> list[RuleResult]:
     """One aggregation pass -> one RuleResult per rule (+ a keep-rate row).
 
     affected_rows = number of hits; pass_rate as in the reference
     (``validators/base.py:36-41``).  Single job: all sums in one ``agg``.
+    NB: this runs its own pass over ``annotated``; when the annotated rows
+    are about to be written anyway, use :func:`observe_metrics` +
+    :func:`metrics_from_observation` to get the same numbers from the
+    write pass for free.
     """
-    severities = heuristics.all_rule_severities()
-    aggs = [F.count("*").alias("_total")] + [
-        F.sum(F.col(f"hit_{n}").cast("long")).alias(n) for n in severities
-    ]
-    aggs.append(F.sum((~F.col("keep")).cast("long")).alias("_dropped"))
-    row = annotated.agg(*aggs).collect()[0].asDict()
+    severities = heuristics.all_rule_severities(rules)
+    row = annotated.agg(*_metric_aggs(severities)).collect()[0].asDict()
+    return _metric_results(row, severities, table_name)
+
+
+def observe_metrics(
+    annotated: DataFrame, name: str = "qf_metrics", rules: tuple | None = None
+):
+    """Attach the rule-hit metric aggregates to the plan as an
+    ``Observation`` — zero extra scans: whatever action consumes the
+    returned DataFrame (typically the decisions write) also produces the
+    per-rule metrics.  This is how the 100 TB run gets its metrics table:
+    as a side effect of the single write pass, not a second pipeline
+    execution.
+
+    Returns (df, observation); after an action on ``df``, pass
+    ``observation.get`` to :func:`metrics_from_observation`.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    severities = heuristics.all_rule_severities(rules)
+    return annotated.observe(obs, *_metric_aggs(severities)), obs
+
+
+def metrics_from_observation(
+    observed: dict, table_name: str = "pages", rules: tuple | None = None
+) -> list[RuleResult]:
+    """Build the RuleResult list from ``Observation.get`` — same output
+    shape as :func:`metrics` (equality is pinned by a test).  Pass the
+    same ``rules`` the annotated frame was built with."""
+    return _metric_results(
+        dict(observed), heuristics.all_rule_severities(rules), table_name
+    )
+
+
+def _metric_results(
+    row: dict, severities: dict, table_name: str
+) -> list[RuleResult]:
     total = row["_total"]
     now = datetime.now(timezone.utc)
 

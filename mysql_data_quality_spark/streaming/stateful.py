@@ -10,13 +10,17 @@ sorted by (warc_ts, url) before picking firsts, so a re-crawl that happens
 to arrive earlier in Arrow batch order never beats an older capture.
 
 State-growth contract (read before running this unbounded):
-  * state per bucket is the EXACT md5 set of seen urls, rewritten each
-    micro-batch — serialization cost is O(total distinct urls / bucket)
-    and grows without bound (NoTimeout, no eviction).  That is the right
-    trade for bounded backfills (this sandbox's tests); for an unbounded
-    crawl, swap the set for a Bloom filter serialized into the same state
-    column (operator shape identical, accepting a false-positive drop
-    rate), or add TTL via ``timeoutConf`` if "seen" may expire.
+  * ``state="exact"`` (default): state per bucket is the EXACT md5 set of
+    seen urls, rewritten each micro-batch — serialization cost is O(total
+    distinct urls / bucket) and grows without bound (NoTimeout, no
+    eviction).  Right trade for bounded backfills (this sandbox's tests).
+  * ``state="bloom"``: fixed-size Bloom filter per bucket (``bloom_bits``
+    bits, ``bloom_hashes`` probes derived from the url's md5) — constant
+    state serialization regardless of crawl length, at the cost of a
+    bounded false-positive rate that DROPS a never-seen url (never emits a
+    duplicate).  Size it as usual: FP ≈ (1−e^{−kn/m})^k; the default
+    2^23 bits / 4 hashes holds ~1M urls per bucket at FP < 0.3%.  This is
+    the unbounded-crawl mode.
   * ``n_state_buckets`` caps shuffle parallelism for the stateful stage —
     size it to at least the cluster's total cores (the default 16 suits
     local test runs, not a 1000-executor cluster).
@@ -48,9 +52,60 @@ STATE_SCHEMA = T.StructType(
     [T.StructField("seen", T.ArrayType(T.StringType()))]
 )
 
+BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.BinaryType()), T.StructField("n", T.LongType())]
+)
+
 
 def _md5(url: str) -> str:
     return hashlib.md5((url or "").encode("utf-8")).hexdigest()
+
+
+def _bloom_positions(url: str, m_bits: int, k: int) -> list[int]:
+    """k bit positions from the url's md5 (double hashing: h1 + i*h2),
+    a pure function of the url — identical across restarts and engines."""
+    d = hashlib.md5((url or "").encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _bloom_fn_factory(m_bits: int, k: int):
+    """applyInPandasWithState function: fixed-size Bloom 'seen' state."""
+    import numpy as np
+
+    def fn(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bits = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            n = int(state.get[1])
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            n = 0
+        pdfs = list(batches)
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            pdf = pdf.sort_values(
+                ["warc_ts", "url"], kind="mergesort", ignore_index=True
+            )
+            fresh_rows = []
+            for i, url in enumerate(pdf["url"]):
+                pos = _bloom_positions(url, m_bits, k)
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # (probably) seen — never emits a duplicate
+                for p in pos:
+                    bits[p >> 3] |= 1 << (p & 7)
+                n += 1
+                fresh_rows.append(i)
+            out = pdf.iloc[fresh_rows][["url", "warc_ts", "text", "lang"]]
+            if len(out):
+                yield out
+        state.update((bits.tobytes(), n))
+
+    return fn
 
 
 def _dedup_fn(
@@ -76,17 +131,30 @@ def _dedup_fn(
     state.update((sorted(seen),))
 
 
-def first_seen_pages(pages_stream: DataFrame, n_state_buckets: int = 16) -> DataFrame:
+def first_seen_pages(
+    pages_stream: DataFrame,
+    n_state_buckets: int = 16,
+    state: str = "exact",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 4,
+) -> DataFrame:
     """Streaming DataFrame of first-ever-seen pages (exactly one row per
-    url across all micro-batches)."""
+    url across all micro-batches).  ``state="bloom"`` swaps the exact seen
+    set for a constant-size Bloom filter (see module docstring)."""
     keyed = pages_stream.withColumn(
         "_bucket",
         F.pmod(F.xxhash64(F.col("url")), F.lit(n_state_buckets)).cast("int"),
     )
+    if state == "bloom":
+        fn, schema = _bloom_fn_factory(bloom_bits, bloom_hashes), BLOOM_STATE_SCHEMA
+    elif state == "exact":
+        fn, schema = _dedup_fn, STATE_SCHEMA
+    else:
+        raise ValueError(f"state must be 'exact' or 'bloom', got {state!r}")
     return keyed.groupBy("_bucket").applyInPandasWithState(
-        _dedup_fn,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -98,12 +166,13 @@ def start_first_seen_stream(
     output_dir: str,
     checkpoint_dir: str,
     n_state_buckets: int = 16,
+    state: str = "exact",
 ):
     """File-source stream → stateful first-seen dedup → parquet append."""
     from mysql_data_quality_spark.streaming.incremental import stream_pages
 
     stream = stream_pages(spark, input_dir)
-    deduped = first_seen_pages(stream, n_state_buckets)
+    deduped = first_seen_pages(stream, n_state_buckets, state=state)
     return (
         deduped.writeStream.outputMode("append")
         .format("parquet")

@@ -59,8 +59,11 @@ def main() -> None:
             pages = P.read_pages(spark, args.documents)
 
         ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
+        # rule-hit metrics ride the write pass via observe() — no second
+        # pipeline execution (quality_filter.observe_metrics)
+        observed, obs = QF.observe_metrics(ann)
         out_cols = list(QF.DECISION_COLS) + ["rule_hits"]
-        decisions = ann.select(*out_cols)
+        decisions = observed.select(*out_cols)
 
         writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
         if not args.resume and writer.completed_buckets():
@@ -70,13 +73,18 @@ def main() -> None:
             )
         stats = writer.run(decisions, group_size=args.group_size)
 
-        metrics = QF.metrics(ann)
-        report = write_json_report(metrics, "pages", Path(args.output) / "reports")
-        print(json.dumps({
+        out = {
             "buckets_written": stats["written"],
             "buckets_skipped": stats["skipped"],
-            "report": str(report),
-        }))
+            "input_scans": stats["input_scans"],
+        }
+        if stats["input_scans"] > 0:  # observation fired with the write job
+            metrics = QF.metrics_from_observation(obs.get)
+            report = write_json_report(
+                metrics, "pages", Path(args.output) / "reports"
+            )
+            out["report"] = str(report)
+        print(json.dumps(out))
     finally:
         spark.stop()
 

@@ -79,3 +79,34 @@ class TestCli:
         assert len(lines) == 10
         # sorted by row count desc -> lineitem first
         assert lines[0].startswith("lineitem")
+
+
+class TestCliFilter:
+    def test_filter_command_end_to_end(self, spark, tmp_path, monkeypatch, capsys):
+        """filter: env-driven rules + checkpointed write + metrics reports
+        produced by observe() on the SAME write pass."""
+        from mysql_data_quality_spark import cli
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)  # no stray .env
+        monkeypatch.setenv("DQS_RULE_MIN_WORDS", "50")
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out_dir,
+             "--buckets", "4"]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["written"] == 4 and stats["input_scans"] == 1
+        assert set(stats["metrics_reports"]) == {"json", "txt", "html"}
+        dec = spark.read.parquet(f"{out_dir}/data")
+        # stricter env threshold visibly changes decisions
+        assert dec.where("drop_reason like '%min_words%'").count() > 0
+        payload = json.loads(
+            open(stats["metrics_reports"]["json"]).read()
+        )
+        by_rule = {r["rule_name"]: r for r in payload["results"]}
+        assert by_rule["min_words"]["affected_rows"] == dec.where(
+            "drop_reason like '%min_words%'"
+        ).count()
+        assert by_rule["keep_rate"]["total_rows"] == dec.count()

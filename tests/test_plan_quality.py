@@ -54,6 +54,34 @@ class TestPlanQuality:
         # in the tree and once in the detail section)
         assert plan.count("Location: InMemoryFileIndex") == 1
 
+    def test_lsh_near_pairs_no_cartesian(self, spark):
+        """The bucketed near-pair plan must be hash joins on short keys —
+        never a cartesian/nested-loop product (that is the O(n²) oracle's
+        job, not the scale path's)."""
+        from mysql_data_quality_spark.operators import ann
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        plan = _plan(ann.lsh_near_pairs(emb, dim=64, threshold=0.4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_minhash_band_join_carries_no_sig(self, spark):
+        """The band self-join's shuffle must not carry the signature array:
+        the Exchange feeding the join moves only (doc_id, band, bh)."""
+        import re
+
+        from mysql_data_quality_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        plan = _plan(
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=3, num_hashes=32, bands=8
+            )
+        )
+        # every hashpartitioning on (band, bh) feeds a projection without sig
+        for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", plan):
+            assert "sig" not in m.group(0)
+
     def test_q1_reads_only_needed_columns(self, spark):
         plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
         import re

@@ -137,6 +137,23 @@ class TestMetricsAndReports:
         r = by_name["symbol_ratio"]
         assert r.pass_rate == (r.total_rows - r.affected_rows) / r.total_rows * 100
 
+    def test_observed_metrics_equal_agg_metrics(self, spark, pages, tmp_path):
+        """observe()-based metrics (free side effect of the write pass —
+        the 100 TB path) must equal the standalone aggregation pass."""
+        ann = QF.annotate(pages)
+        direct = QF.metrics(ann)
+        observed_df, obs = QF.observe_metrics(ann)
+        # ONE action produces both the written decisions and the metrics
+        observed_df.select(*QF.DECISION_COLS).write.mode("overwrite").parquet(
+            str(tmp_path / "dec")
+        )
+        from_obs = QF.metrics_from_observation(obs.get)
+        assert len(direct) == len(from_obs)
+        for a, b in zip(direct, from_obs):
+            assert (a.rule_name, a.affected_rows, a.total_rows, a.passed) == (
+                b.rule_name, b.affected_rows, b.total_rows, b.passed
+            )
+
     def test_reports_written(self, spark, pages, tmp_path):
         from mysql_data_quality_spark.reports import (
             analyze_results,

@@ -92,6 +92,33 @@ class TestStatefulDedup:
         assert out.count() == pages.count()
         assert out.select("url").distinct().count() == pages.count()
 
+    def test_bloom_state_first_seen(self, spark, tmp_path):
+        """Constant-size Bloom state: same first-seen behavior on a corpus
+        far below the filter's capacity (FP ~ 0 at 2^23 bits / 500 urls),
+        never emits a duplicate across overlapping drops."""
+        from mysql_data_quality_spark.streaming import stateful
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        first_half = pages.where("length(url) % 2 = 0")
+        first_half.write.mode("append").parquet(in_dir)
+        q = stateful.start_first_seen_stream(
+            spark, in_dir, out_dir, ckpt, state="bloom"
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == first_half.count()
+
+        pages.write.mode("append").parquet(in_dir)
+        q2 = stateful.start_first_seen_stream(
+            spark, in_dir, out_dir, ckpt, state="bloom"
+        )
+        q2.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert out.count() == pages.count()
+        assert out.select("url").distinct().count() == pages.count()
+
 
 class TestSkew:
     @pytest.fixture(scope="class")
