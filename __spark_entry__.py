@@ -756,6 +756,42 @@ def _simhash_pairs_docs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def _repetition_features(spark, sf_dir):
+    """Gopher duplicate-line fraction.  The synthetic texts are single-line,
+    so the query first reshapes them into lines deterministically (literal
+    replace — identical in both engines) to exercise the non-zero path."""
+    from mysql_data_quality_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.replace(
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable\n")),
+        F.lit(" value "),
+        F.lit("\nvalue\n"),
+    )
+    return docs.select(
+        "doc_id", T.dup_line_fraction_col(lined).alias("dup_line_fraction")
+    )
+
+
+def _repetition_features_sql() -> str:
+    from mysql_data_quality_spark.functions import text as T
+
+    lined = (
+        "replace(replace(text, ' table ', chr(10) || 'table' || chr(10)), "
+        "' value ', chr(10) || 'value' || chr(10))"
+    )
+    return (
+        f"select doc_id, {T.dup_line_fraction_sql(lined)} as "
+        "dup_line_fraction from documents"
+    )
+
+
+def _top_ngram_stats(spark, sf_dir):
+    """Gopher top-2-gram repetition dominance per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.top_ngram_stats(docs, "doc_id", "text", n=2)
+
+
 def _lsh_cosine_topk(spark, sf_dir):
     """Hyperplane-LSH approximate top-k (scale path for ann_cosine_topk);
     bucket membership is engine-specific, so rows-only check."""
@@ -830,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,
         "quality_band_histogram": _quality_band_histogram,
         "salted_group_count": _salted_group_count,
+        "repetition_features": _repetition_features,
+        "top_ngram_stats": _top_ngram_stats,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
         "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
@@ -898,4 +936,6 @@ def oracle_sql() -> dict[str, str]:
             "select o_orderpriority, count(*) as n_rows "
             "from orders group by o_orderpriority"
         ),
+        "repetition_features": _repetition_features_sql(),
+        "top_ngram_stats": textstats.top_ngram_stats_sql("documents", n=2),
     }

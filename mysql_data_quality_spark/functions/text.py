@@ -199,3 +199,46 @@ def digit_fraction_sql(text: str) -> str:
         f"cast(length(regexp_replace({t}, '[^0-9]+', '', 'g')) as double) "
         f"/ cast(length({t}) as double) else 0.0 end"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style duplicate-line fraction)
+# ---------------------------------------------------------------------------
+def lines_col(text: Column) -> Column:
+    """Non-empty trimmed lines of the document."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+        ),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def lines_sql(text: str) -> str:
+    return (
+        f"list_filter(list_transform(string_split(coalesce({text}, ''), "
+        "chr(10)), l -> trim(l)), l -> len(l) > 0)"
+    )
+
+
+def dup_line_fraction_col(text: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line — the Gopher
+    duplicate-line repetition signal (boilerplate/nav chrome detector).
+    1 - distinct/total in double with fixed op order (cross-engine
+    bit-identical); 0.0 for documents with no non-empty lines."""
+    lines = lines_col(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction_sql(text: str) -> str:
+    lines = lines_sql(text)
+    return (
+        f"case when len({lines}) > 0 then 1.0 - "
+        f"cast(len(list_distinct({lines})) as double) / "
+        f"cast(len({lines}) as double) else 0.0 end"
+    )

@@ -87,3 +87,68 @@ def language_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("det_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher top-n-gram repetition (distributed operator, not a per-row expr:
+# per-document mode needs a frequency table, which the explode+agg shape
+# gets with map-side partial aggregation — O(d²) per-row array scans would
+# blow up on pathological 50k-token documents)
+# ---------------------------------------------------------------------------
+def top_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """(doc_id, n_grams, top_count, top_fraction): how dominant the most
+    frequent word n-gram is — the Gopher top-ngram repetition signal.
+
+    Plan: grams per doc (one projection) → explode → count per (doc, gram)
+    → max/sum per doc.  Both aggregations combine map-side; the shuffle
+    key is (doc_id, xxhash-sized gram strings).  Docs with < n tokens are
+    absent from the output (no grams → no repetition signal).
+    """
+    toks = T.tokens_col(F.lower(F.col(text_col)))
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(nt - n, F.lit(0)))
+    grams = F.when(
+        nt >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+    per_gram = ex.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_count"),
+        )
+        .withColumn(
+            "top_fraction",
+            F.col("top_count").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def top_ngram_stats_sql(
+    docs_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> str:
+    toks = T.tokens_sql(f"lower({text_col})")
+    return f"""
+with ex as (
+  select {id_col} as doc_id,
+         unnest(case when len({toks}) >= {n} then
+           [array_to_string({toks}[i:i+{n - 1}], ' ')
+            for i in range(1, len({toks}) - {n} + 2)]
+         else [] end) as gram
+  from {docs_rel}
+), per_gram as (
+  select doc_id, gram, count(*) as cnt from ex group by 1, 2
+)
+select doc_id, cast(sum(cnt) as bigint) as n_grams,
+       cast(max(cnt) as bigint) as top_count,
+       cast(max(cnt) as double) / cast(sum(cnt) as double) as top_fraction
+from per_gram group by doc_id
+"""

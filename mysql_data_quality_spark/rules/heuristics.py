@@ -37,6 +37,7 @@ FEATURE_COLS = (
     "distinct_fraction",
     "symbol_ratio",
     "digit_fraction",
+    "dup_line_fraction",
     "det_lang",
     "avg_logp",
 )
@@ -64,6 +65,7 @@ def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "distinct_fraction": T.distinct_fraction_col(toks),
             "symbol_ratio": T.symbol_ratio_col(t, toks),
             "digit_fraction": T.digit_fraction_col(t),
+            "dup_line_fraction": T.dup_line_fraction_col(t),
             "det_lang": langid.detect_col(toks),
             "avg_logp": perplexity.avg_logprob_col(toks),
         }
@@ -83,6 +85,7 @@ def features_sql(text: str = "text") -> dict[str, str]:
         "distinct_fraction": T.distinct_fraction_sql(toks),
         "symbol_ratio": T.symbol_ratio_sql(text, toks),
         "digit_fraction": T.digit_fraction_sql(text),
+        "dup_line_fraction": T.dup_line_fraction_sql(text),
         "det_lang": langid.detect_sql(toks),
         "avg_logp": perplexity.avg_logprob_sql(toks),
     }
@@ -147,6 +150,12 @@ DEFAULT_RULES: tuple[HRule, ...] = (
     HRule("lang_undetected", Severity.ERROR, "det_lang", "==", langid.UNDETERMINED),
     HRule("lang_mismatch", Severity.WARNING),
     HRule("low_logprob", Severity.ERROR, "avg_logp", "<", -6.0),
+    # Gopher duplicate-line repetition — shipped DISABLED so r1 decision
+    # labels and golden snapshots stay byte-identical; enable via
+    # DQS_RULE_LINE_REPETITION_ENABLED=true (core/config.py) or a custom
+    # rules tuple.
+    HRule("line_repetition", Severity.ERROR, "dup_line_fraction", ">", 0.3,
+          enabled=False),
 )
 
 #: PII/toxicity rules (regex find-anywhere; blocklist drops, PII annotates

@@ -310,3 +310,71 @@ class TestOrchestratorAndPlans:
         assert "html" not in plan.scan_columns()
         assert "text" in plan.scan_columns()
         assert len(plan.rule_names) >= 10
+
+
+class TestRepetition:
+    def test_dup_line_fraction_values(self, spark):
+        from mysql_data_quality_spark.functions.text import (
+            dup_line_fraction_col,
+        )
+
+        rows = [
+            (1, "a\nb\nc"),            # all distinct -> 0
+            (2, "nav\nbody\nnav\nnav"),  # 4 lines, 2 distinct -> 0.5
+            (3, ""),                    # no lines -> 0
+            (4, None),                  # null -> 0
+            (5, "  x  \n\n  x  "),      # trimmed+empty-dropped: 2 lines 1 distinct
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        got = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", dup_line_fraction_col(F.col("text")).alias("f")
+            ).collect()
+        }
+        assert got[1] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+        assert got[2] == 0.5
+        assert got[5] == 0.5
+
+    def test_line_repetition_rule_enabled_via_env(self, spark):
+        """The shipped-disabled Gopher rule activates through the env
+        config and drops line-repetitive docs."""
+        from mysql_data_quality_spark.core.config import rules_from_env
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+        from mysql_data_quality_spark.streaming.incremental import PAGES_SCHEMA
+
+        body = ("genuine varied content with many different stopword the "
+                "and a of to in rich words here ") * 3
+        spammy = body + ("\nclick here now" * 20)
+        rows = [("u_ok", None, None, body, "en"),
+                ("u_spam", None, None, spammy, "en")]
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+        default = {
+            r.url: r.drop_reason for r in QF.decisions(pages).collect()
+        }
+        rules = rules_from_env(env={"DQS_RULE_LINE_REPETITION_ENABLED": "true"})
+        with_rule = {
+            r.url: r for r in QF.decisions(pages, rules=rules).collect()
+        }
+        # disabled by default: the reason never appears
+        assert "line_repetition" not in default["u_spam"]
+        # env-enabled: the repetitive doc is dropped FOR that reason
+        assert not with_rule["u_spam"].keep
+        assert "line_repetition" in with_rule["u_spam"].drop_reason
+        assert "line_repetition" not in with_rule["u_ok"].drop_reason
+
+    def test_top_ngram_stats_semantics(self, spark):
+        rows = [
+            (1, "a b a b a b"),   # grams: "a b" x3, "b a" x2 -> top 3/5
+            (2, "one"),           # < n tokens -> absent
+            (3, "x y z"),         # all distinct grams -> top 1/2
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in textstats.top_ngram_stats(df, "doc_id", "text", n=2).collect()
+        }
+        assert 2 not in got
+        assert got[1]["n_grams"] == 5 and got[1]["top_count"] == 3
+        assert got[1]["top_fraction"] == 3 / 5
+        assert got[3]["top_count"] == 1 and got[3]["top_fraction"] == 0.5
