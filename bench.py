@@ -111,6 +111,15 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         lambda: _force(QF.decisions(pages, use_arrow_udfs=True)),
     )
     clock("qf_metrics", lambda: QF.metrics(QF.annotate(pages)))
+
+    # observed-metrics path: decisions AND per-rule metrics from ONE pass —
+    # compare with qf_pipeline + qf_metrics (two passes) above
+    def _observed():
+        observed, obs = QF.observe_metrics(QF.annotate(pages))
+        _force(observed.select(*QF.DECISION_COLS))
+        assert obs.get["_total"] > 0
+
+    clock("qf_pipeline_with_observed_metrics", _observed)
     clock(
         "dedup_exact",
         lambda: _force(dedup.exact_duplicate_groups(pages, "url", "text")),

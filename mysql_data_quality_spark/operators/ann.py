@@ -241,11 +241,14 @@ def lsh_near_pairs(
     tables: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Approximate all-pairs embedding near-dup: (ia, ib, cosine) for pairs
     with cosine >= threshold — the scale path that replaces the O(n²)
     crossJoin (kept as `embedding_near_pairs`, this operator's tiny-scale
-    oracle).
+    oracle).  ``persist_sigs`` caches the signature frame feeding the
+    three plan arms (banding + both sketch sides); at 10^12 rows write
+    signatures to a table instead.
 
     Plan, in cost order:
       1. one signature pass computes all ``tables`` per-table signatures
@@ -278,6 +281,10 @@ def lsh_near_pairs(
         "vec_id",
         signatures_pandas_udf(dim, bits, tables)(F.col("vec")).alias("sig"),
     )
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "vec_id", F.posexplode("sig").alias("tbl", "bkt")
     )
