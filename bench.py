@@ -106,6 +106,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     first = timings["qf_pipeline"]
     clock("qf_pipeline", lambda: _force(QF.decisions(pages)))
     timings["qf_pipeline"] = min(first, timings["qf_pipeline"])
+    # same warm-up fairness for the Arrow scoring path (python worker pool
+    # startup + its own codegen otherwise land in the first timing)
+    _force(
+        QF.decisions(bench_pages(spark, sf_dir, replicas=2), use_arrow_udfs=True)
+    )
     clock(
         "qf_pipeline_arrow_udf",
         lambda: _force(QF.decisions(pages, use_arrow_udfs=True)),

@@ -378,3 +378,29 @@ class TestRepetition:
         assert got[1]["n_grams"] == 5 and got[1]["top_count"] == 3
         assert got[1]["top_fraction"] == 3 / 5
         assert got[3]["top_count"] == 1 and got[3]["top_fraction"] == 0.5
+
+
+class TestCatalogHelpers:
+    def test_list_tables_sees_registered_views(self, spark):
+        """S5: spark.catalog listing wrapper (information_schema.tables
+        analogue)."""
+        from mysql_data_quality_spark.sources import registry
+
+        spark.range(3).createOrReplaceTempView("mdqs_cat_probe")
+        try:
+            assert "mdqs_cat_probe" in registry.list_tables(spark)
+        finally:
+            spark.catalog.dropTempView("mdqs_cat_probe")
+
+    def test_cli_list_tables_ranked_by_count(self, spark, tmp_path, capsys):
+        """A15: table-count ranking, reference cli.py:94-99 sort order."""
+        from mysql_data_quality_spark import cli
+
+        spark.range(100).write.parquet(str(tmp_path / "big.parquet"))
+        spark.range(5).write.parquet(str(tmp_path / "small.parquet"))
+        rc = cli.main(["list-tables", str(tmp_path)])
+        out = capsys.readouterr().out
+        assert rc == 0
+        lines = [ln for ln in out.splitlines() if ln.strip()]
+        assert lines[0].startswith("big") and "100" in lines[0]
+        assert lines[1].startswith("small")
