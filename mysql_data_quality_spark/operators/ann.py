@@ -132,12 +132,17 @@ def signature_col(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Colu
 
 def signatures_pandas_udf(dim: int, bits: int, tables: int, seed: int = 42):
     """Vectorized Arrow UDF computing ALL per-table LSH signatures at once:
-    one ``(batch × dim) @ (dim × tables·bits)`` numpy matmul per Arrow
+    one ``(batch × dim) × (dim × tables·bits)`` contraction per Arrow
     batch, then sign + bit-pack — replacing ``tables × bits`` interpreted
-    per-row HOF dot-folds with BLAS.  Same hyperplanes as
-    :func:`signature_col` (deterministic, seed-derived); float64 matmul can
-    disagree with the JVM's sequential fold only on razor-edge zero dots,
-    which moves bucket membership (recall), never reported cosines."""
+    per-row HOF dot-folds with vectorized C.  ``einsum(optimize=False)``
+    rather than BLAS matmul: BLAS kernel blocking varies with the batch
+    shape, so a razor-edge dot (true value 0) could flip sign between
+    partitionings — observed as a ±1-pair difference between sessions;
+    einsum's fixed-order loop makes signatures identical for any batch
+    size/partitioning.  Same hyperplanes as :func:`signature_col`
+    (deterministic, seed-derived); float64 fixed-order summation can still
+    disagree with the JVM's per-element fold on razor-edge dots, which
+    moves bucket membership (recall), never reported cosines."""
     from pyspark.sql.functions import pandas_udf
 
     planes = np.array(
@@ -155,7 +160,8 @@ def signatures_pandas_udf(dim: int, bits: int, tables: int, seed: int = 42):
         if not len(col):
             return pd.Series([], dtype=object)
         mat = np.vstack(col.to_numpy()).astype(np.float64)  # n × dim
-        pos = (mat @ planes) >= 0  # n × (tables·bits)
+        dots = np.einsum("nd,db->nb", mat, planes, optimize=False)
+        pos = dots >= 0  # n × (tables·bits)
         packed = (
             pos.reshape(len(mat), tables, bits) * pow2
         ).sum(axis=2).astype(np.int64)  # n × tables

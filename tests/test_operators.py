@@ -212,6 +212,26 @@ class TestAnn:
         for p, c in approx.items():
             assert c == exact[p]  # bit-identical exact re-rank
 
+    def test_lsh_signatures_partition_invariant(self, spark):
+        """Arrow-matmul signatures must not depend on batch shape — einsum
+        fixed-order contraction, not BLAS blocking (a razor-edge dot was
+        observed flipping sign between partitionings under matmul)."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        udf = ann.signatures_pandas_udf(64, 4, 24)
+        a = (
+            emb.repartition(1)
+            .select("vec_id", udf(F.col("embedding")).alias("s"))
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        b = (
+            emb.repartition(13)
+            .select("vec_id", udf(F.col("embedding")).alias("s"))
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        assert all(list(x) == list(y) for x, y in zip(a.s, b.s))
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
