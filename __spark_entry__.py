@@ -792,6 +792,57 @@ def _top_ngram_stats(spark, sf_dir):
     return textstats.top_ngram_stats(docs, "doc_id", "text", n=2)
 
 
+def _url_canonicalization(spark, sf_dir):
+    """Canonical-URL function over deterministically mangled variants of
+    the pages urls (fragment + tracking query + uppercased host + default
+    port + trailing slash) — canonicalization must collapse all of it."""
+    from mysql_data_quality_spark.functions import urls as U
+
+    pages = _pages(spark, sf_dir)
+    mangled = F.concat(
+        F.upper(F.regexp_extract(F.col("url"), U._HOST_RE, 0)),
+        F.lit(":443"),
+        F.regexp_replace(F.col("url"), U._HOST_RE, ""),
+        F.lit("/?utm_source=feed&x=1#frag"),
+    )
+    return pages.select(
+        "url",
+        U.canonical_url_col(mangled).alias("canonical"),
+        (U.canonical_url_col(mangled) == U.canonical_url_col(F.col("url")))
+        .alias("collapsed"),
+    )
+
+
+def _url_canonicalization_sql() -> str:
+    from mysql_data_quality_spark.functions import urls as U
+
+    mangled = (
+        f"(upper(regexp_extract(url, '{U._HOST_RE}', 0)) || ':443' || "
+        f"regexp_replace(url, '{U._HOST_RE}', '') || "
+        "'/?utm_source=feed&x=1#frag')"
+    )
+    return _PAGES_CTE + (
+        f"select url, {U.canonical_url_sql(mangled)} as canonical, "
+        f"({U.canonical_url_sql(mangled)} = {U.canonical_url_sql('url')}) "
+        "as collapsed from pages"
+    )
+
+
+def _duplicate_clusters_docs(spark, sf_dir):
+    """Connected components over the near-dup pair list (iterative min-label
+    propagation; oracle = DuckDB recursive-CTE transitive closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.6, max_shingle_df=None
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+def _duplicate_clusters_docs_sql() -> str:
+    pairs = dedup.shingle_jaccard_pairs_sql("documents", k=3, threshold=0.6)
+    return dedup.duplicate_clusters_sql(pairs)
+
+
 def _lsh_cosine_topk(spark, sf_dir):
     """Hyperplane-LSH approximate top-k (scale path for ann_cosine_topk);
     bucket membership is engine-specific, so rows-only check."""
@@ -868,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_count": _salted_group_count,
         "repetition_features": _repetition_features,
         "top_ngram_stats": _top_ngram_stats,
+        "url_canonicalization": _url_canonicalization,
+        "duplicate_clusters_docs": _duplicate_clusters_docs,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
         "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
@@ -938,4 +991,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "repetition_features": _repetition_features_sql(),
         "top_ngram_stats": textstats.top_ngram_stats_sql("documents", n=2),
+        "url_canonicalization": _url_canonicalization_sql(),
+        "duplicate_clusters_docs": _duplicate_clusters_docs_sql(),
     }

@@ -1,3 +1,3 @@
-from mysql_data_quality_spark.functions import checkdigits, text
+from mysql_data_quality_spark.functions import checkdigits, text, urls
 
-__all__ = ["text", "checkdigits"]
+__all__ = ["text", "checkdigits", "urls"]

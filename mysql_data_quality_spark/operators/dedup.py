@@ -422,3 +422,102 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over a near-dup pair
+    list; cluster_id = the smallest doc id in the component (so "keep the
+    lowest id per cluster" is a plain filter on the output).
+
+    This is the step after any pair generator (exact groups, MinHash/LSH,
+    SimHash, embedding pairs): pairs chain transitively (A≈B, B≈C ⇒ one
+    cluster) and a keep-one policy needs the component, not the pair.
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds.  The pair list is FAR smaller than the
+    corpus (near-dup output), so the per-round hash joins are cheap; each
+    round persists its frame and cuts lineage so the plan doesn't grow
+    (iterative plans otherwise nest max_iters deep).  The driver-side loop
+    runs one tiny count per round — O(diameter) jobs, not O(rows).
+    """
+    from pyspark import StorageLevel
+
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("label").alias("slabel")
+                ),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("slabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, cluster id =
+    min reachable id (tiny-scale only — closure is O(n·m))."""
+    return f"""
+with recursive pairs as ({pairs_sql}),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a
+)
+select a as doc_id, least(a, min(b)) as cluster_id from reach group by a
+"""

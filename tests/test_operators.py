@@ -424,3 +424,59 @@ class TestCatalogHelpers:
         lines = [ln for ln in out.splitlines() if ln.strip()]
         assert lines[0].startswith("big") and "100" in lines[0]
         assert lines[1].startswith("small")
+
+
+class TestClustersAndUrls:
+    def test_duplicate_clusters_chains(self, spark):
+        """Transitivity: A-B, B-C, C-D chain collapses to one cluster with
+        the min id as representative; disjoint pairs stay separate."""
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (10, 11), (20, 11)],
+            "doc_a: bigint, doc_b: bigint",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 10}
+
+    def test_duplicate_clusters_matches_recursive_oracle(self, spark, duck):
+        """Iterative label propagation == transitive-closure SQL on the
+        real near-dup pairs."""
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        pairs = dedup.shingle_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.6, max_shingle_df=None
+        )
+        got = (
+            dedup.duplicate_clusters(pairs)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        want = duck.sql(
+            dedup.duplicate_clusters_sql(
+                dedup.shingle_jaccard_pairs_sql(
+                    "documents", k=3, threshold=0.6
+                )
+            )
+            + " order by doc_id"
+        ).df()
+        assert (got["doc_id"].values == want["doc_id"].values).all()
+        assert (got["cluster_id"].values == want["cluster_id"].values).all()
+
+    def test_canonical_url(self, spark):
+        from mysql_data_quality_spark.functions.urls import canonical_url_col
+
+        rows = [
+            ("HTTPS://Example.COM:443/Path/?utm_source=x&a=1#frag",
+             "https://example.com/Path"),
+            ("http://example.com:80/", "http://example.com"),
+            ("http://example.com:8080/x", "http://example.com:8080/x"),
+            ("https://example.com", "https://example.com"),
+            ("https://example.com/a/b/", "https://example.com/a/b"),
+            (None, ""),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in rows], "url: string")
+        got = [
+            r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()
+        ]
+        assert got == [want for _, want in rows]
