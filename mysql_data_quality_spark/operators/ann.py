@@ -119,7 +119,13 @@ def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
 
 
 def signature_col(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
-    """Integer LSH signature: bit b = 1 iff dot(vec, hyperplane_b) >= 0."""
+    """Integer LSH signature: bit b = 1 iff dot(vec, hyperplane_b) >= 0.
+
+    JVM Column-math reference for :func:`signatures_pandas_udf` (same
+    hyperplane family; a parity test pins them equal modulo razor-edge
+    dots).  The operators use the Arrow UDF — one einsum per batch beats
+    ``bits`` interpreted folds per row — but this form needs no Python
+    workers and serves as the executable spec."""
     sig = F.lit(0).cast("long")
     for b in range(bits):
         h = F.lit(_hyperplane(dim, b, seed))
@@ -170,20 +176,6 @@ def signatures_pandas_udf(dim: int, bits: int, tables: int, seed: int = 42):
     return sig
 
 
-def _bucket_array(vec: Column, dim: int, bits: int, tables: int) -> Column:
-    """array<struct<tbl,bkt>> — one hyperplane-LSH bucket per table, with
-    per-table independent hyperplane seeds."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                signature_col(vec, dim, bits, seed=42 + 1000 * t).alias("bkt"),
-            )
-            for t in range(tables)
-        ]
-    )
-
-
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -201,32 +193,33 @@ def lsh_cosine_topk(
     corpus vector is a candidate if it shares ANY table's bucket with the
     query; candidates get an exact cosine re-rank.  Expected candidate set
     ~ tables * corpus / 2^bits — `bits` trades cost, `tables` buys recall.
-    The bucket join shuffles only (table_id, bucket, id) — tiny keys."""
 
-    def buckets(vec: Column) -> Column:
-        return _bucket_array(vec, dim, bits, tables)
-
-    c = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.explode(buckets(F.col(vec_col))).alias("b"),
-        )
-        .select("vec_id", "c_vec", "b.tbl", "b.bkt")
+    Corpus-side signatures come from the vectorized Arrow contraction
+    (:func:`signatures_pandas_udf` — one einsum per batch, not
+    ``tables × bits`` interpreted folds per row), and the bucket join
+    carries only (tbl, bkt, id): the corpus vector re-joins by id for the
+    exact re-rank, so vector bytes move O(candidates), not
+    O(corpus × tables)."""
+    sig_udf = signatures_pandas_udf(dim, bits, tables)
+    ids = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
+    c = ids.select(
+        "vec_id", sig_udf(F.col("c_vec")).alias("sig")
+    ).select("vec_id", F.posexplode("sig").alias("tbl", "bkt"))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(buckets(F.col(vec_col))).alias("b"),
-        ).select("query_id", "q_vec", "b.tbl", "b.bkt")
+            sig_udf(F.col(vec_col)).alias("sig"),
+        ).select("query_id", "q_vec", F.posexplode("sig").alias("tbl", "bkt"))
     )
     cand = (
         c.join(q, on=["tbl", "bkt"])
-        .select("query_id", "q_vec", "vec_id", "c_vec")
+        .select("query_id", "q_vec", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.withColumn(
+    scored = cand.join(ids, on="vec_id").withColumn(
         "cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(

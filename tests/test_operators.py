@@ -212,6 +212,28 @@ class TestAnn:
         for p, c in approx.items():
             assert c == exact[p]  # bit-identical exact re-rank
 
+    def test_arrow_sigs_match_column_spec(self, spark):
+        """signatures_pandas_udf (einsum) vs signature_col (JVM fold): same
+        hyperplane family, so signatures agree except razor-edge zero dots
+        where float summation order legitimately differs."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        udf = ann.signatures_pandas_udf(64, 8, 2)
+        both = emb.select(
+            udf(F.col("embedding")).alias("arrow"),
+            F.array(
+                *[
+                    ann.signature_col(F.col("embedding"), 64, 8, seed=42 + 1000 * t)
+                    for t in range(2)
+                ]
+            ).alias("jvm"),
+        ).toPandas()
+        total = equal = 0
+        for a, j in zip(both.arrow, both.jvm):
+            for x, y in zip(a, j):
+                total += 1
+                equal += x == y
+        assert equal / total >= 0.99, f"{equal}/{total} signatures equal"
+
     def test_lsh_signatures_partition_invariant(self, spark):
         """Arrow-matmul signatures must not depend on batch shape — einsum
         fixed-order contraction, not BLAS blocking (a razor-edge dot was
