@@ -32,12 +32,22 @@ from mysql_data_quality_spark.validators import (
 
 def default_engine(
     reference_frames: Optional[dict[str, DataFrame]] = None,
+    config=None,
 ) -> ValidationEngine:
     """Engine with the four standard families registered (reference
-    orchestrator.py:60-85 registers the same set; integrity post-connect)."""
+    orchestrator.py:60-85 registers the same set; integrity post-connect).
+
+    ``config``: a ``core.config.Config`` (or None to read the environment)
+    — its duplicates skip/force lists drive the DuplicatesValidator, the
+    reference's env-driven column binding (config.py + .env.example)."""
+    from mysql_data_quality_spark.core.config import DuplicatesConfig
+
+    dup_cfg = (
+        config.duplicates if config is not None else DuplicatesConfig.from_env()
+    )
     eng = ValidationEngine()
     eng.register_validator(CompletenessValidator())
-    eng.register_validator(DuplicatesValidator())
+    eng.register_validator(dup_cfg.make_validator())
     eng.register_validator(PatternsValidator())
     eng.register_validator(IntegrityValidator(reference_frames or {}))
     return eng

@@ -199,3 +199,17 @@ class TestUnifiedReport:
         assert {p.name for p in named.values()} == {"run42.json", "run42.txt"}
         with pytest.raises(ValueError):
             write_unified_report(res, "pages", tmp_path, formats=["pdf"])
+
+
+class TestDefaultEngineConfig:
+    def test_default_engine_respects_env_lists(self, spark, monkeypatch):
+        """The orchestrator's default engine binds the duplicates validator
+        from the environment (reference config.py env flow)."""
+        from mysql_data_quality_spark.core.orchestrator import default_engine
+
+        monkeypatch.setenv("FORCE_UNIQUE_COLUMNS", "o_comment")
+        monkeypatch.setenv("ALLOW_DUPLICATE_COLUMNS", "o_totalprice")
+        eng = default_engine()
+        dup = eng.get_validator("duplicates")
+        assert not dup.should_skip_column("o_comment")
+        assert dup.should_skip_column("o_totalprice")
