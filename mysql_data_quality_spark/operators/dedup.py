@@ -399,27 +399,62 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    rotations: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocking: join on the top ``prefix_bits`` bits (standard rotation/
-    prefix blocking; at scale run several rotations) so the self-join is
-    per-bucket, not all-pairs."""
+    Blocking: join on the top ``prefix_bits`` bits of the (rotated)
+    signature.  A single prefix block misses any pair whose differing bits
+    fall inside the prefix; ``rotations`` R > 1 re-blocks on R evenly
+    rotated views and a pair is a candidate if ANY rotation's prefix
+    agrees.  Manku-style pigeonhole guarantee: with R disjoint windows
+    (R·prefix_bits >= 64) a pair at Hamming distance d < R always leaves
+    one window clean, so recall is TOTAL for d <= R-1 — e.g. the classic
+    d<=3 / 4×16-bit-block configuration is rotations=4, prefix_bits=16
+    (pinned by test).  Each rotation's self-join shuffles only (block, id,
+    sig); candidates are unioned and deduped before the exact popcount
+    check, which makes the reported hamming exact regardless of blocking.
+    """
     sigs = simhash_signatures(df, id_col, text_col)
-    block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    sigs = sigs.withColumn("block", block)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, on="block")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    if rotations > 1:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def rotated(col: Column, r: int) -> Column:
+        if r == 0:
+            return col
+        # 64-bit rotate-left by r: (x << r) | (x >>> (64 - r))
+        return F.shiftleft(col, r).bitwiseOR(
+            F.shiftrightunsigned(col, 64 - r)
         )
+
+    step = max(1, 64 // max(rotations, 1))
+    cand = None
+    for i in range(max(rotations, 1)):
+        rot = sigs.select(
+            "doc_id",
+            "simhash",
+            F.shiftrightunsigned(
+                rotated(F.col("simhash"), i * step), 64 - prefix_bits
+            ).alias("block"),
+        )
+        a, b = rot.alias("a"), rot.alias("b")
+        pairs_r = (
+            a.join(b, on="block")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+        )
+        cand = pairs_r if cand is None else cand.union(pairs_r)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

@@ -78,3 +78,77 @@ def test_fuzz_flat_hits_match_oracle(spark, fuzz_pages):
     oracle = con.sql(QF.flat_hits_sql("pages") + " order by url").df()
     for c in fh.columns:
         assert (fh[c].values == oracle[c].values).all(), c
+
+
+def test_fuzz_dup_line_fraction_matches_oracle(spark, fuzz_pages):
+    from pyspark.sql import functions as F
+
+    from mysql_data_quality_spark.functions.text import (
+        dup_line_fraction_col,
+        dup_line_fraction_sql,
+    )
+
+    got = (
+        fuzz_pages.select(
+            "url", dup_line_fraction_col(F.col("text")).alias("f")
+        )
+        .orderBy("url")
+        .toPandas()
+    )
+    pdf = fuzz_pages.orderBy("url").toPandas()
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    oracle = con.sql(
+        f"select url, {dup_line_fraction_sql('text')} as f "
+        "from pages order by url"
+    ).df()
+    assert (got["f"].values == oracle["f"].values).all()
+
+
+def _gen_urls(n: int = 300) -> list[str]:
+    rng = random.Random(SEED + 1)
+    schemes = ["http", "HTTPS", "Http", "ftp"]
+    hosts = ["Example.COM", "sub.DOMAIN.org", "xn--bcher-kva.ch",
+             "host-name.io", "A.B.C.D"]
+    ports = ["", ":80", ":443", ":8080", ":0443"]
+    paths = ["", "/", "/Path/To/Page", "/a//b/", "/%20x", "/p.html/",
+             "/(weird)[path]"]
+    queries = ["", "?a=1", "?utm_source=x&b=2", "??", "?q=a?b"]
+    frags = ["", "#frag", "#a#b", "#"]
+    out = []
+    for _ in range(n):
+        out.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    return out
+
+
+def test_fuzz_canonical_url_matches_oracle(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_data_quality_spark.functions.urls import (
+        canonical_url_col,
+        canonical_url_sql,
+    )
+
+    urls = _gen_urls()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i: int, url: string")
+    got = (
+        df.select("i", canonical_url_col(F.col("url")).alias("c"))
+        .orderBy("i")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    oracle = con.sql(
+        f"select i, {canonical_url_sql('url')} as c from t order by i"
+    ).df()
+    mism = got["c"].values != oracle["c"].values
+    assert not mism.any(), (
+        f"first mismatch: in={urls[mism.argmax()]!r} "
+        f"spark={got['c'].values[mism.argmax()]!r} "
+        f"oracle={oracle['c'].values[mism.argmax()]!r}"
+    )

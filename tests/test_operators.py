@@ -141,6 +141,37 @@ class TestDedup:
         )
         assert cmp.where(F.col("new") != F.col("old")).count() == 0
 
+    def test_simhash_rotations_raise_recall(self, spark):
+        """Multi-rotation blocking: exact popcount keeps results a subset
+        of ground truth; more rotations can only add pairs; recall vs the
+        all-pairs ground truth improves (or stays) with R."""
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        sigs = dedup.simhash_signatures(docs, "doc_id", "text").toPandas()
+        ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+        vals = list(zip(sigs.doc_id, sigs.simhash))
+        truth = {
+            (i, j)
+            for x, (i, si) in enumerate(vals)
+            for j, sj in vals[x + 1:]
+            if ham(si, sj) <= 3
+        }
+        def got(r):
+            return {
+                (min(p["doc_a"], p["doc_b"]), max(p["doc_a"], p["doc_b"]))
+                for p in dedup.simhash_near_pairs(
+                    docs, "doc_id", "text", max_hamming=3, rotations=r
+                ).collect()
+            }
+        r1, r4 = got(1), got(4)
+        assert r1 <= truth and r4 <= truth  # exact check: no false pairs
+        assert r1 <= r4  # rotations only add candidates
+        assert len(truth) > 0
+        # Manku-style guarantee: 3 diffs over 4 disjoint 16-bit windows
+        # leave one window clean, so R=4 recall is total at d<=3
+        assert r4 == truth
+
     def test_shingle_df_cap_drops_hot_shingles(self, spark):
         # 10 docs all share one boilerplate sentence; cap kills those pairs
         rows = [(i, f"unique text number {i} " + "click here to continue now")
