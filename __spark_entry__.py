@@ -843,6 +843,56 @@ def _duplicate_clusters_docs_sql() -> str:
     return dedup.duplicate_clusters_sql(pairs)
 
 
+def _media_features(spark, sf_dir):
+    """Multimodal feature plumbing, oracle-checked: documents' text bytes
+    stand in for media payloads (payload = UTF-8 bytes of text), so the
+    mapInPandas extraction (sha256 + byte count + sha-derived fake feature)
+    is reproducible in SQL.  Feature values h[i]/256 are exact dyadic
+    rationals — cross-engine bit-identical through any float width."""
+    from mysql_data_quality_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = MM.extract_features(media, feature_dim=4)
+    return feats.select(
+        "media_id",
+        "payload_sha256",
+        "payload_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
+def _media_features_sql() -> str:
+    # byte i of the sha256 digest, recovered from the hex string with pure
+    # string ops (strpos over the hex alphabet — engine-agnostic)
+    def byte(i: int) -> str:  # i is 0-based
+        hi = f"strpos('0123456789abcdef', substr(payload_sha256, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(payload_sha256, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    return f"""
+with m as (
+  select cast(doc_id as varchar) as media_id,
+         sha256(coalesce(text, '')) as payload_sha256,
+         octet_length(encode(coalesce(text, ''))) as payload_bytes
+  from documents
+)
+select media_id, payload_sha256, cast(payload_bytes as bigint) as payload_bytes,
+       cast({byte(0)} as double) / 256.0 as f0,
+       cast({byte(1)} as double) / 256.0 as f1
+from m
+"""
+
+
 def _lsh_cosine_topk(spark, sf_dir):
     """Hyperplane-LSH approximate top-k (scale path for ann_cosine_topk);
     bucket membership is engine-specific, so rows-only check."""
@@ -921,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": _top_ngram_stats,
         "url_canonicalization": _url_canonicalization,
         "duplicate_clusters_docs": _duplicate_clusters_docs,
+        "media_features": _media_features,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
         "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
@@ -993,4 +1044,5 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram_stats": textstats.top_ngram_stats_sql("documents", n=2),
         "url_canonicalization": _url_canonicalization_sql(),
         "duplicate_clusters_docs": _duplicate_clusters_docs_sql(),
+        "media_features": _media_features_sql(),
     }
