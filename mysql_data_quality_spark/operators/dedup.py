@@ -141,10 +141,25 @@ def shingle_jaccard_pairs(
     sizes = sh.select("doc_id", "n_sh").where(F.col("n_sh") > 0)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
-        w = Window.partitionBy("sh")
-        ex = ex.withColumn("df", F.count("*").over(w)).where(
-            F.col("df") <= max_shingle_df
-        ).drop("df")
+        # hot-shingle list via groupBy (map-side partial agg absorbs the
+        # hot keys) then a broadcast ANTI join — NOT a window partitioned
+        # by shingle, which would itself funnel each hot shingle's df rows
+        # into one partition, recreating the exact skew the cap exists to
+        # remove.  Hot shingles are few by definition → tiny broadcast.
+        # ``ex`` feeds both the count arm and the join, so it is persisted;
+        # that is fine at this operator's design point (it is the
+        # exact/small path — minhash_lsh_pairs is the corpus-scale path,
+        # and its banding needs no global df pass at all).
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), on="sh", how="left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
