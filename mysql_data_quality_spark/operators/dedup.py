@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mysql_data_quality_spark.functions.text import WS_RE
 
@@ -57,11 +56,15 @@ def exact_duplicate_groups(
 
     ``max_ids_per_group`` caps the id sample per group (default 100): a
     pathological mega-group (an empty page duplicated 10^9 times) must not
-    materialize a billion-element array in one aggregation buffer.  The
-    capped path ranks ids inside each group with a window sharing the same
-    hash partitioning, so the cap costs no extra shuffle; ``dup_count`` is
-    always the FULL group size.  Pass ``None`` for the exact full-list
-    output (tiny-scale oracle parity).
+    materialize a billion-element array in one aggregation buffer OR pin
+    one task.  The capped path is a two-phase bounded top-k: phase 1
+    groups by (md5, salt) and keeps each salt bucket's ``cap`` smallest
+    ids (buffer ≤ group/``cap_salts``); phase 2 merges ≤ cap_salts × cap
+    ids per group — both aggregations combine map-side, no window funnels
+    a mega-group into a single sort task.  ``doc_ids`` is exactly the
+    ``cap`` smallest ids; ``dup_count`` is always the FULL group size.
+    Pass ``None`` for the exact full-list output (tiny-scale oracle
+    parity).
     """
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
@@ -77,19 +80,28 @@ def exact_duplicate_groups(
             )
             .where(F.col("dup_count") > 1)
         )
-    grp = Window.partitionBy("text_md5")
-    ranked = hashed.withColumns(
-        {
-            "rn": F.row_number().over(grp.orderBy("doc_id")),
-            "dup_count": F.count(F.lit(1)).over(grp),
-        }
+    cap_salts = 64
+    salted = hashed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cap_salts)).cast("int"),
+    )
+    partial = salted.groupBy("text_md5", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, max_ids_per_group
+        ).alias("pids"),
     )
     return (
-        ranked.where(
-            (F.col("dup_count") > 1) & (F.col("rn") <= max_ids_per_group)
+        partial.groupBy("text_md5")
+        .agg(
+            F.sum("pn").alias("dup_count"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("pids"))),
+                1,
+                max_ids_per_group,
+            ).alias("doc_ids"),
         )
-        .groupBy("text_md5", "dup_count")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("dup_count") > 1)
         .select("text_md5", "dup_count", "doc_ids")
     )
 
