@@ -60,6 +60,32 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot(a, b)}) / (({norm(a)}) * ({norm(b)}))"
 
 
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """Deterministic per-query top-k in two phases: phase 1 ranks inside
+    (query_id, salt-of-vec_id) partitions — each holds ~1/n_salts of the
+    query's candidates — phase 2 ranks the ≤ n_salts×k survivors.  A
+    single window partitioned only by query_id would funnel one query's
+    ENTIRE candidate set (the whole corpus, for brute force) into one sort
+    task.  Union of per-salt top-ks contains the global top-k, so results
+    are identical; tie-break (cosine desc, vec_id asc) is total, so ranks
+    are deterministic.  Size n_salts ≈ candidates-per-query / 10^6 at
+    scale."""
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salts))
+    )
+    order = (F.desc("cosine"), F.asc("vec_id"))
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    local = salted.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,8 +97,9 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     queries: (query_id, embedding) — small; broadcast so the corpus scan is
-    shuffle-free and the only exchange is the final per-query top-k merge.
-    Deterministic tie-break on (similarity desc, vec_id asc).
+    shuffle-free; the per-query top-k is the two-phase salted merge
+    (:func:`_topk_per_query`), never one window task per query over the
+    whole corpus.  Deterministic tie-break on (similarity desc, vec_id asc).
     """
     q = F.broadcast(
         queries.select(
@@ -86,14 +113,7 @@ def cosine_topk(
     scored = c.crossJoin(q).withColumn(
         "cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -222,14 +242,7 @@ def lsh_cosine_topk(
     scored = cand.join(ids, on="vec_id").withColumn(
         "cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_near_pairs(
