@@ -506,9 +506,15 @@ def duplicate_clusters(
     Min-label propagation: every vertex starts labeled with itself; each
     round takes the min of its own and its neighbors' labels; converges in
     O(component diameter) rounds.  The pair list is FAR smaller than the
-    corpus (near-dup output), so the per-round hash joins are cheap; each
-    round persists its frame and cuts lineage so the plan doesn't grow
-    (iterative plans otherwise nest max_iters deep).  The driver-side loop
+    corpus (near-dup output), so the per-round hash joins are cheap.
+
+    Each round's labels are ``localCheckpoint``-ed: iterative plans nest
+    one level per round, and ``persist`` alone does NOT truncate the
+    logical plan — at ~15 rounds the nested plan made AQE's plan-string
+    rendering itself blow the driver heap (caught by the random-graph
+    test).  localCheckpoint replaces the plan with the materialized RDD.
+    At production scale prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for executor-loss tolerance.  The driver-side loop
     runs one tiny count per round — O(diameter) jobs, not O(rows).
     """
     from pyspark import StorageLevel
@@ -527,7 +533,7 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neigh = (
@@ -548,7 +554,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -556,7 +562,6 @@ def duplicate_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -516,6 +516,37 @@ class TestClustersAndUrls:
         assert (got["doc_id"].values == want["doc_id"].values).all()
         assert (got["cluster_id"].values == want["cluster_id"].values).all()
 
+    def test_duplicate_clusters_random_graphs_vs_union_find(self, spark):
+        """Seeded random graphs: label propagation must equal a plain
+        union-find (independent reference implementation)."""
+        import random
+
+        rng = random.Random(99)
+        edges = [
+            (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(edges, "doc_a: bigint, doc_b: bigint")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == want
+
     def test_canonical_url(self, spark):
         from mysql_data_quality_spark.functions.urls import canonical_url_col
 
