@@ -843,6 +843,27 @@ def _duplicate_clusters_docs_sql() -> str:
     return dedup.duplicate_clusters_sql(pairs)
 
 
+def _dedup_corpus_docs(spark, sf_dir):
+    """End-user dedup: keep one doc per near-dup cluster + all unclustered
+    docs; returns the surviving ids."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.6, max_shingle_df=None
+    )
+    return dedup.deduplicated_corpus(docs, pairs, "doc_id").select("doc_id")
+
+
+def _dedup_corpus_docs_sql() -> str:
+    pairs = dedup.shingle_jaccard_pairs_sql("documents", k=3, threshold=0.6)
+    clusters = dedup.duplicate_clusters_sql(pairs)
+    return f"""
+select doc_id from documents
+where doc_id not in (
+  select doc_id from ({clusters}) where doc_id != cluster_id
+)
+"""
+
+
 def _media_features(spark, sf_dir):
     """Multimodal feature plumbing, oracle-checked: documents' text bytes
     stand in for media payloads (payload = UTF-8 bytes of text), so the
@@ -971,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": _top_ngram_stats,
         "url_canonicalization": _url_canonicalization,
         "duplicate_clusters_docs": _duplicate_clusters_docs,
+        "dedup_corpus_docs": _dedup_corpus_docs,
         "media_features": _media_features,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
@@ -1044,5 +1066,6 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram_stats": textstats.top_ngram_stats_sql("documents", n=2),
         "url_canonicalization": _url_canonicalization_sql(),
         "duplicate_clusters_docs": _duplicate_clusters_docs_sql(),
+        "dedup_corpus_docs": _dedup_corpus_docs_sql(),
         "media_features": _media_features_sql(),
     }

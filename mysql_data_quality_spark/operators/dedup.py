@@ -588,3 +588,26 @@ reach(a, b) as (
 )
 select a as doc_id, least(a, min(b)) as cluster_id from reach group by a
 """
+
+
+def deduplicated_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The end-user dedup operation: keep ONE document per duplicate
+    cluster (its smallest id) plus every unclustered document.
+
+    pairs → :func:`duplicate_clusters` → anti join the non-representative
+    members out of the corpus.  The anti join's build side is the member
+    list (near-dup output, small relative to the corpus), so the corpus
+    scan stays shuffle-free when Spark broadcasts it — the corpus itself
+    is never shuffled.
+    """
+    clusters = duplicate_clusters(pairs, a_col, b_col)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")

@@ -90,6 +90,7 @@ def start_windowed_metrics_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "qf_windowed_metrics",
+    sink_path: str | None = None,
 ):
     """Event-time rule-hit metrics: tumbling windows over ``warc_ts`` with a
     watermark for late pages — the Structured-Streaming analogue of the
@@ -98,8 +99,10 @@ def start_windowed_metrics_stream(
     Late data beyond the watermark is dropped from the aggregation state;
     state size is bounded by (windows in flight) x (constant columns) —
     the property that matters when this runs forever at crawl scale.
-    Sink is the in-memory table ``query_name`` (tests/demo) — swap for a
-    parquet/Iceberg sink in production.
+    Sink: the in-memory table ``query_name`` by default (tests/demo), or a
+    durable parquet metrics table when ``sink_path`` is given (the
+    production shape; the file sink's transactional log makes the append
+    exactly-once).
     """
     from pyspark.sql import functions as F
 
@@ -124,11 +127,11 @@ def start_windowed_metrics_stream(
             "n_toxic",
         )
     )
-    return (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = agg.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
     )
+    if sink_path is not None:
+        writer = writer.format("parquet").option("path", sink_path)
+    else:
+        writer = writer.format("memory").queryName(query_name)
+    return writer.trigger(availableNow=True).start()

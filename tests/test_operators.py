@@ -564,3 +564,18 @@ class TestClustersAndUrls:
             r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()
         ]
         assert got == [want for _, want in rows]
+
+
+class TestDeduplicatedCorpus:
+    def test_keep_one_per_cluster(self, spark, near_dup_docs):
+        pairs = dedup.shingle_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", k=3, threshold=0.5
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.deduplicated_corpus(
+                near_dup_docs, pairs, "doc_id"
+            ).collect()
+        )
+        # cluster {1,2,3,6} keeps 1; singletons 4, 5 survive
+        assert kept == [1, 4, 5]

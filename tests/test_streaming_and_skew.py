@@ -165,3 +165,21 @@ class TestSkew:
         )
         assert len(per_salt) == 8  # hot key spread over all salts
         assert per_salt["count"].max() < 1000 * 0.25  # no salt owns the key
+
+
+class TestDurableMetricsSink:
+    def test_windowed_metrics_to_parquet(self, spark, tmp_path):
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        pages.write.parquet(in_dir)
+        sink = str(tmp_path / "metrics")
+        q = incremental.start_windowed_metrics_stream(
+            spark, in_dir, str(tmp_path / "ckpt"), sink_path=sink
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink).toPandas()
+        assert {"window_start", "n_docs", "n_kept", "n_toxic"} <= set(
+            got.columns
+        )
+        assert got["n_docs"].sum() > 0
+        assert (got["n_kept"] <= got["n_docs"]).all()
