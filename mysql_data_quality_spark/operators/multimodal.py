@@ -119,3 +119,52 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize stage: mapInPandas over image rows.
+
+    The pixel kernel is stubbed like :func:`real_decode` (no codec libs in
+    this environment); the deterministic stand-in derives the "resized"
+    payload from sha256(payload || WxH) so the Spark-side contract — batch
+    shape, schema, partition invariance, per-(payload, dims) determinism —
+    is fully real and testable.  Swapping in PIL's ``Image.resize`` changes
+    only the bytes produced, not the plan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"|{target_w}x{target_h}".encode()
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if not len(pdf):
+                continue
+            digests = pdf["payload"].map(
+                lambda b: hashlib.sha256((b or b"") + tag).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_sha256": digests,
+                    # fake payload size: 3 bytes/pixel (the real kernel
+                    # would return the actual encoded bytes)
+                    "resized_bytes": pd.Series(
+                        [target_w * target_h * 3] * len(pdf),
+                        index=pdf.index,
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)

@@ -308,6 +308,25 @@ class TestMultimodal:
         m2 = {r.media_id: tuple(r.feature) for r in out2.itertuples()}
         assert m == m2
 
+    def test_resize_plumbing(self, spark):
+        rows = [
+            ("m1", "image", b"\x89PNGfake", "image/png", 8, 8, None),
+            ("m2", "audio", b"RIFFfake", "audio/wav", None, None, 2000),
+            ("m4", "image", None, "image/png", 1, 1, None),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.resize_images(df, 64, 32).toPandas()
+        assert sorted(out.media_id) == ["m1", "m4"]  # images only
+        assert (out.target_w == 64).all() and (out.target_h == 32).all()
+        assert (out.resized_bytes == 64 * 32 * 3).all()
+        # deterministic in (payload, dims); partition-invariant
+        out2 = multimodal.resize_images(df.repartition(3), 64, 32).toPandas()
+        assert dict(zip(out.media_id, out.resized_sha256)) == dict(
+            zip(out2.media_id, out2.resized_sha256)
+        )
+        other = multimodal.resize_images(df, 32, 32).toPandas()
+        assert set(other.resized_sha256).isdisjoint(set(out.resized_sha256))
+
     def test_frame_sample_plan(self, spark):
         rows = [("v1", "video", b"x", "video/mp4", 1, 1, 3500),
                 ("v2", "video", b"y", "video/mp4", 1, 1, 0),
