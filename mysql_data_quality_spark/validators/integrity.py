@@ -72,6 +72,42 @@ def rules_from_metadata(fk_specs: Sequence[dict]) -> List[Rule]:
     return rules
 
 
+def discover_fk_rules_jdbc(
+    spark, url: str, table: str, driver: Optional[str] = None
+) -> List[Rule]:
+    """LIVE foreign-key auto-discovery from a SQL database — the full
+    analogue of the reference's ``information_schema.KEY_COLUMN_USAGE``
+    query (``integrity.py:306-362``), but via JDBC's standard
+    ``DatabaseMetaData.getImportedKeys`` so it is dialect-neutral (MySQL,
+    Postgres, Derby, ... — anything with a JDBC driver) instead of one
+    information_schema query per dialect.
+
+    Returns the same auto rules as :func:`rules_from_metadata`; pair with
+    :func:`sources.registry.read_jdbc` to load the child/parent tables.
+    Tested against an embedded Derby database with a real FK constraint.
+    """
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getImportedKeys(None, None, table)
+        specs = []
+        while rs.next():
+            specs.append(
+                {
+                    "column_name": rs.getString("FKCOLUMN_NAME"),
+                    "referenced_table_name": rs.getString("PKTABLE_NAME"),
+                    "referenced_column_name": rs.getString("PKCOLUMN_NAME"),
+                    "constraint_name": rs.getString("FK_NAME"),
+                }
+            )
+        rs.close()
+    finally:
+        conn.close()
+    return rules_from_metadata(specs)
+
+
 class IntegrityValidator:
     name = "integrity"
     description = "Validates referential integrity (foreign keys)"

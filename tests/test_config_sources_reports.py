@@ -76,6 +76,62 @@ class TestJdbcSource:
             reader(spark, "not-a-jdbc-spec")
 
 
+class TestLiveFkDiscovery:
+    def test_discover_validate_against_real_database(
+        self, spark, tmp_path_factory
+    ):
+        """Full reference parity for auto-FK: a REAL database with a REAL
+        foreign-key constraint -> JDBC metadata discovery -> generated
+        rules -> broadcast anti-join validation over JDBC-read tables.
+        (Orphans exist because Derby FKs are checked on insert, so the
+        'orphan' rows live in a constraint-free staging table.)"""
+        db = tmp_path_factory.mktemp("derbyfk") / "fkdb"
+        url = f"jdbc:derby:{db};create=true"
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute("create table dept (dept_id int primary key, name varchar(20))")
+        st.execute(
+            "create table emp (emp_id int primary key, dept_id int, "
+            "constraint emp_dept_fk foreign key (dept_id) references dept(dept_id))"
+        )
+        st.execute("create table emp_staging (emp_id int, dept_id int)")
+        for i in range(3):
+            st.execute(f"insert into dept values ({i}, 'd{i}')")
+        for i in range(10):
+            st.execute(f"insert into emp values ({i}, {i % 3})")
+        for i in range(10):  # 2 orphans: dept 7 and 9 don't exist
+            st.execute(f"insert into emp_staging values ({i}, {i % 5 * 2 - 1})")
+        st.close()
+        conn.close()
+
+        rules = integrity.discover_fk_rules_jdbc(
+            spark, url, "EMP", driver=DERBY_DRIVER
+        )
+        assert [r.name for r in rules] == ["auto_fk_EMP_DEPT_FK"]
+        p = rules[0].parameters
+        assert (p["foreign_key"], p["reference_table"], p["reference_column"]) == (
+            "DEPT_ID", "DEPT", "DEPT_ID"
+        )
+
+        dept = registry.read_jdbc(spark, url, "dept", driver=DERBY_DRIVER)
+        emp = registry.read_jdbc(spark, url, "emp", driver=DERBY_DRIVER)
+        staging = registry.read_jdbc(
+            spark, url, "emp_staging", driver=DERBY_DRIVER
+        )
+        v = integrity.IntegrityValidator({"DEPT": dept})
+        ok = v.validate_table(emp, "EMP", rules=rules)[0]
+        assert ok.passed and ok.details["orphaned_records"] == 0
+        bad = v.validate_table(staging, "EMP_STAGING", rules=rules)[0]
+        # staging dept_ids are {-1,1,3,5,7} x2; {1,3,5}? no - depts are 0..2
+        assert not bad.passed
+        expected = staging.join(
+            dept.select(F.col("DEPT_ID")), on="DEPT_ID", how="left_anti"
+        ).count()
+        assert bad.details["orphaned_records"] == expected > 0
+
+
 class TestEnvConfig:
     def test_dotenv_parse_and_precedence(self, tmp_path, monkeypatch):
         envf = tmp_path / ".env"
