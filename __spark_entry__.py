@@ -744,6 +744,18 @@ def _sampled_scan(spark, sf_dir):
     return plan_scan(_t(spark, sf_dir, "lineitem"), sample_size=5000)
 
 
+def _winnowing_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (local rolling-hash fingerprinting);
+    engine-specific xxhash64, so rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = textstats.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.element_at("fingerprints", 1).alias("min_fingerprint"),
+    )
+
+
 def _minhash_pairs_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -997,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
         "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
+        "winnowing_fingerprints": _winnowing_fingerprints,
         "minhash_pairs_docs": _minhash_pairs_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "approx_distinct_profile": _approx_distinct_profile,

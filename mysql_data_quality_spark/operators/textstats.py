@@ -152,3 +152,59 @@ select doc_id, cast(sum(cnt) as bigint) as n_grams,
        cast(max(cnt) as double) / cast(sum(cnt) as double) as top_fraction
 from per_gram group by doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS algorithm):
+# char k-gram rolling hashes -> minimum per sliding window -> distinct set.
+# Guarantees: any match of length >= w + k - 1 between two documents shares
+# at least one selected fingerprint, and identical documents select
+# identical sets — the local-fingerprinting property plain md5/minhash
+# doesn't give (md5 breaks on 1-char edits; minhash is global).
+# ---------------------------------------------------------------------------
+def winnowing_fingerprints_col(
+    text: Column, k: int = 5, w: int = 4
+) -> Column:
+    """array<bigint>: sorted distinct window-minimum k-gram hashes.
+
+    All JVM Column math: substring k-grams, one xxhash64 per gram, window
+    minima via slice+array_min.  Whitespace is collapsed and case folded
+    first so formatting edits don't shift every gram.
+    """
+    from mysql_data_quality_spark.operators.dedup import normalized_text_col
+
+    norm = normalized_text_col(text)
+    n = F.length(norm)
+    # NB: F.sequence(1, stop) counts DOWN when stop < 1, so gate on n >= k
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_grams = F.size(grams)
+    mins = F.when(
+        n_grams >= w,
+        F.transform(
+            F.sequence(F.lit(1), n_grams - w + 1),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(  # short docs: single window over whatever grams exist
+        F.when(n_grams > 0, F.array(F.array_min(grams))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(doc_id, fingerprints: array<bigint>) per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        winnowing_fingerprints_col(F.col(text_col), k, w).alias(
+            "fingerprints"
+        ),
+    )

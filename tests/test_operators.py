@@ -598,3 +598,72 @@ class TestDeduplicatedCorpus:
         )
         # cluster {1,2,3,6} keeps 1; singletons 4, 5 survive
         assert kept == [1, 4, 5]
+
+
+class TestWinnowing:
+    def test_matches_python_reference(self, spark):
+        """Winnowing spec test: compute the gram hashes WITH Spark (same
+        xxhash64), winnow them in pure Python, compare selected sets."""
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "data quality validation at scale with spark",
+            "aaaaa",      # n_grams == 1 < w
+            "abcd",       # shorter than k -> empty
+            "",
+        ]
+        k, w = 5, 4
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id: bigint, text: string"
+        )
+        got = {
+            r["doc_id"]: list(r["fingerprints"])
+            for r in textstats.winnowing_fingerprints(
+                df, "doc_id", "text", k, w
+            ).collect()
+        }
+        # reference: per-doc gram hashes via a plain Spark expression
+        norm_grams = df.select(
+            "doc_id",
+            F.when(
+                F.length(dedup.normalized_text_col(F.col("text"))) >= k,
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length(dedup.normalized_text_col(F.col("text"))) - k + 1,
+                    ),
+                    lambda i: F.xxhash64(
+                        dedup.normalized_text_col(F.col("text")).substr(
+                            i, F.lit(k)
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")).alias("h"),
+        ).collect()
+        for r in norm_grams:
+            hs = list(r["h"])
+            if len(hs) >= w:
+                want = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+            elif hs:
+                want = {min(hs)}
+            else:
+                want = set()
+            assert got[r["doc_id"]] == sorted(want), r["doc_id"]
+
+    def test_local_match_guarantee(self, spark):
+        """Any shared substring of length >= w + k - 1 shares at least one
+        fingerprint (the winnowing guarantee); a 1-char edit elsewhere
+        does NOT zero the overlap (unlike whole-doc md5)."""
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        edited = base.replace("tonight", "tonite") + " extra trailing words"
+        df = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id: bigint, text: string"
+        )
+        fps = {
+            r["doc_id"]: set(r["fingerprints"])
+            for r in textstats.winnowing_fingerprints(
+                df, "doc_id", "text"
+            ).collect()
+        }
+        assert len(fps[1] & fps[2]) > 0
+        overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+        assert overlap > 0.4  # most of the shared prefix survives
