@@ -114,3 +114,22 @@ class TestCheckpointResume:
         stats2 = w.run(tiny, group_size=3)
         assert stats2["written"] == 0 and stats2["skipped"] == 8
         assert stats2["input_scans"] == 0
+
+
+class TestRandomizedCrashPoints:
+    def test_every_crash_point_converges(self, spark, decisions, tmp_path):
+        """Crash after ANY number of lineage commit groups, then resume:
+        the final table is always bit-identical to the uninterrupted run."""
+        ref = CheckpointedWriter(str(tmp_path / "ref"), n_buckets=8)
+        ref.run(decisions, group_size=2)
+        expected = _table(spark, ref)
+        for fail_after in (0, 1, 3):
+            w = CheckpointedWriter(
+                str(tmp_path / f"crash{fail_after}"), n_buckets=8
+            )
+            with pytest.raises(RuntimeError, match="injected crash"):
+                w.run(decisions, group_size=2, fail_after_groups=fail_after)
+            assert len(w.completed_buckets()) == fail_after * 2
+            w.run(decisions, group_size=2)  # resume
+            assert w.completed_buckets() == set(range(8))
+            assert _table(spark, w).equals(expected)

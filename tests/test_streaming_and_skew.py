@@ -183,3 +183,23 @@ class TestDurableMetricsSink:
         )
         assert got["n_docs"].sum() > 0
         assert (got["n_kept"] <= got["n_docs"]).all()
+
+
+class TestBatchWriterIdempotence:
+    def test_replayed_batch_no_duplicates(self, spark, tmp_path):
+        """foreachBatch is at-least-once: writing the SAME batch twice (a
+        simulated replay after a crash-before-checkpoint-commit) must leave
+        exactly one copy of its rows."""
+        pages = P.read_pages(spark, SF_SMOKE)
+        out = str(tmp_path / "dec")
+        b0 = pages.limit(100)
+        incremental.write_decisions_batch(b0, 0, out)
+        once = spark.read.parquet(out).orderBy("url").toPandas()
+        incremental.write_decisions_batch(b0, 0, out)  # replay of batch 0
+        twice = spark.read.parquet(out).orderBy("url").toPandas()
+        assert len(twice) == len(once) == 100
+        for c in once.columns:
+            assert (once[c].values == twice[c].values).all(), c
+        # a DIFFERENT batch id appends its own partition untouched
+        incremental.write_decisions_batch(pages.limit(40), 1, out)
+        assert spark.read.parquet(out).count() == 140
