@@ -203,3 +203,40 @@ class TestBatchWriterIdempotence:
         # a DIFFERENT batch id appends its own partition untouched
         incremental.write_decisions_batch(pages.limit(40), 1, out)
         assert spark.read.parquet(out).count() == 140
+
+
+class TestAqeSkewJoin:
+    def test_skew_join_split_engages(self, spark):
+        """The session factory enables AQE skew-join splitting; prove it
+        actually fires: a join with one pathological hot key, thresholds
+        scaled to test size, must show a skew-split shuffle read in the
+        EXECUTED adaptive plan (the pre-execution plan never shows it)."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            hot = spark.range(200000).select(
+                F.lit(1).alias("k"), F.col("id").alias("v")
+            )
+            cold = spark.range(2000).select(
+                (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v")
+            )
+            right = spark.range(60).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+            )
+            j = hot.union(cold).join(right, on="k")
+            assert len(j.collect()) == 202000  # correct despite the split
+            ep = j._jdf.queryExecution().executedPlan().treeString()
+            assert "skew=true" in ep, "AQE skew split did not engage"
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
