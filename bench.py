@@ -157,6 +157,18 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ),
     )
 
+    # duplicate clustering over an ADVERSARIAL chain component — diameter
+    # == n is the worst case for propagation-style connected components
+    # (O(n) rounds); the star contraction does it in O(log n) rounds
+    chain_n = 20_000
+    chain = spark.range(chain_n).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    clock(
+        "duplicate_clusters_chain",
+        lambda: _force(dedup.duplicate_clusters(chain)),
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -489,11 +489,89 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 # duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to the
+    minimum of its closed neighborhood (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14)."""
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbrs.join(m, on="src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient every edge (max → min); every node connects its
+    smaller neighbors AND itself to the minimum of those neighbors."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    hang_nbrs = (
+        oriented.join(m, on="src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    hang_self = m.select("src", F.col("m").alias("dst"))
+    return (
+        hang_nbrs.union(hang_self)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """(count, checksum) of an edge set — one tiny job.  Two independent
+    64-bit order-invariant XOR folds (edge sets are distinct, so no
+    duplicate rows cancel) make a cross-round collision ~2^-128; used only
+    to detect "no change this round", not for correctness of the labels
+    themselves."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h1"),
+        F.bit_xor(F.xxhash64("dst", "src", F.lit(7))).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
+def _star_contraction(
+    edges: DataFrame,
+    max_rounds: int,
+    persist_fn,
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set is stable.
+
+    Returns (star edges: every non-root node → its component's minimum id,
+    rounds used).  Converges in O(log n) rounds even on a path graph —
+    each composite round roughly squares how far the minimum label has
+    propagated, where plain min-label propagation needs O(diameter)
+    rounds (a 10k-hop boilerplate chain = 10k joins)."""
+    edges = persist_fn(edges)
+    fp = _edge_fingerprint(edges)
+    for rounds in range(1, max_rounds + 1):
+        edges = persist_fn(_small_star(_large_star(edges)))
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            return edges, rounds
+        fp = new_fp
+    return edges, -max_rounds  # sentinel: NOT converged
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 25,
+    max_rounds: int = 50,
+    use_checkpoint: bool = False,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components over a near-dup pair
     list; cluster_id = the smallest doc id in the component (so "keep the
@@ -503,71 +581,66 @@ def duplicate_clusters(
     SimHash, embedding pairs): pairs chain transitively (A≈B, B≈C ⇒ one
     cluster) and a keep-one policy needs the component, not the pair.
 
-    Min-label propagation: every vertex starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels; converges in
-    O(component diameter) rounds.  The pair list is FAR smaller than the
-    corpus (near-dup output), so the per-round hash joins are cheap.
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., SoCC'14) — O(log n) rounds regardless of component diameter,
+    where the previous min-label propagation needed O(diameter) rounds
+    and a pathological chain component (incrementally edited boilerplate
+    pages A≈B≈C≈…) meant thousands of joins.  Each round is two
+    self-groupBys + joins over the edge set only (near-dup output, far
+    smaller than the corpus); the driver runs one tiny fingerprint job
+    per round — O(log n) jobs total.
 
-    Each round's labels are ``localCheckpoint``-ed: iterative plans nest
-    one level per round, and ``persist`` alone does NOT truncate the
-    logical plan — at ~15 rounds the nested plan made AQE's plan-string
-    rendering itself blow the driver heap (caught by the random-graph
-    test).  localCheckpoint replaces the plan with the materialized RDD.
-    At production scale prefer ``spark.sparkContext.setCheckpointDir`` +
-    ``checkpoint()`` for executor-loss tolerance.  The driver-side loop
-    runs one tiny count per round — O(diameter) jobs, not O(rows).
+    Every round's edge set is materialized to truncate the iterative
+    lineage (``persist`` alone does NOT cut the logical plan — nested
+    plans previously blew the driver heap at ~15 rounds, caught by the
+    random-graph test): ``localCheckpoint`` by default;
+    ``use_checkpoint=True`` uses reliable ``checkpoint()`` to the
+    session's ``spark.sparkContext.setCheckpointDir`` so a lost executor
+    cannot lose intermediate blocks mid-contraction (the production
+    setting for long-running 100 TB jobs).
+
+    ``max_rounds`` (default 50 ≈ components of 2^50 nodes) is a
+    backstop, not a tuning knob; if contraction has NOT converged by then
+    the result would silently split components, so ``on_nonconverge``
+    decides: ``"raise"`` (default) or ``"warn"`` (loud warning, returns
+    the partial labels).
     """
-    from pyspark import StorageLevel
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}"
+        )
 
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    )
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    def persist_fn(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if use_checkpoint else df.localCheckpoint()
+
+    edges0 = persist_fn(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    stars, rounds = _star_contraction(edges0, max_rounds, persist_fn)
+    if rounds < 0:
+        msg = (
+            f"duplicate_clusters: star contraction did not converge in "
+            f"{max_rounds} rounds — labels would split components"
+        )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    nodes = (
+        edges0.select(F.col("src").alias("id"))
+        .union(edges0.select(F.col("dst").alias("id")))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("src"), F.col("label").alias("slabel")
-                ),
-                on="src",
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("slabel").alias("nmin"))
+    # at convergence `stars` is {(node, component-min)}; roots have no row
+    return (
+        nodes.join(stars.withColumnRenamed("src", "id"), on="id", how="left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id"),
         )
-        new_labels = (
-            labels.join(neigh, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

@@ -566,6 +566,64 @@ class TestClustersAndUrls:
         }
         assert got == want
 
+    def test_long_chain_one_cluster(self, spark):
+        """A 200-hop chain (far beyond the old 25-round propagation limit)
+        collapses to ONE cluster — the failure mode the star contraction
+        exists to remove (ADVICE r2: silent component splits)."""
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a: bigint, doc_b: bigint"
+        )
+        got = dedup.duplicate_clusters(pairs).collect()
+        assert len(got) == n + 1
+        assert {r["cluster_id"] for r in got} == {0}
+
+    def test_star_contraction_sublinear_rounds_on_chain(self, spark):
+        """Round count on a 10k-node chain must be O(log n), not
+        O(diameter): the contraction converges in ≤ 2·log2(n) composite
+        rounds where min-label propagation would need ~10k."""
+        import math
+
+        n = 10_000
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src: bigint, dst: bigint"
+        ).localCheckpoint()
+        stars, rounds = dedup._star_contraction(
+            edges, max_rounds=50, persist_fn=lambda df: df.localCheckpoint()
+        )
+        assert 0 < rounds <= 2 * math.ceil(math.log2(n))  # ≤ 28, not ~10k
+        assert stars.where(F.col("dst") != 0).count() == 0  # all point to min
+        assert stars.count() == n  # every non-root node labeled
+
+    def test_duplicate_clusters_reliable_checkpoint(self, spark, tmp_path):
+        """use_checkpoint=True (reliable checkpoint, executor-loss safe)
+        produces identical clusters."""
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (10, 11)], "doc_a: bigint, doc_b: bigint"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(
+                pairs, use_checkpoint=True
+            ).collect()
+        }
+        assert got == {2: 2, 3: 2, 4: 2, 10: 10, 11: 10}
+
+    def test_duplicate_clusters_nonconvergence_raises_or_warns(self, spark):
+        """max_rounds exhausted without convergence must NOT silently
+        return split components (ADVICE r2): raise by default, loud
+        RuntimeWarning with on_nonconverge='warn'."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "doc_a: bigint, doc_b: bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.duplicate_clusters(pairs, max_rounds=1).collect()
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            dedup.duplicate_clusters(
+                pairs, max_rounds=1, on_nonconverge="warn"
+            ).collect()
+
     def test_canonical_url(self, spark):
         from mysql_data_quality_spark.functions.urls import canonical_url_col
 
