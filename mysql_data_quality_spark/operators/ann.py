@@ -217,9 +217,11 @@ def lsh_cosine_topk(
     Corpus-side signatures come from the vectorized Arrow contraction
     (:func:`signatures_pandas_udf` — one einsum per batch, not
     ``tables × bits`` interpreted folds per row), and the bucket join
-    carries only (tbl, bkt, id): the corpus vector re-joins by id for the
-    exact re-rank, so vector bytes move O(candidates), not
-    O(corpus × tables)."""
+    carries only (tbl, bkt, id): BOTH vectors re-join by id after the
+    candidate dedup — the corpus vector from the corpus frame, the query
+    vector from the (broadcast) query frame — so no array<float> column
+    ever rides the candidate exchange and vector bytes move
+    O(candidates), not O(corpus × tables) (plan-asserted by test)."""
     sig_udf = signatures_pandas_udf(dim, bits, tables)
     ids = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
@@ -227,20 +229,25 @@ def lsh_cosine_topk(
     c = ids.select(
         "vec_id", sig_udf(F.col("c_vec")).alias("sig")
     ).select("vec_id", F.posexplode("sig").alias("tbl", "bkt"))
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
             sig_udf(F.col(vec_col)).alias("sig"),
-        ).select("query_id", "q_vec", F.posexplode("sig").alias("tbl", "bkt"))
+        ).select("query_id", F.posexplode("sig").alias("tbl", "bkt"))
     )
     cand = (
         c.join(q, on=["tbl", "bkt"])
-        .select("query_id", "q_vec", "vec_id")
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.join(ids, on="vec_id").withColumn(
-        "cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))
+    scored = (
+        cand.join(ids, on="vec_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
     )
     return _topk_per_query(scored, k)
 

@@ -82,6 +82,31 @@ class TestPlanQuality:
         for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", plan):
             assert "sig" not in m.group(0)
 
+    def test_lsh_topk_candidate_exchange_carries_no_vector(self, spark):
+        """lsh_cosine_topk's candidate dedup must shuffle (query_id,
+        vec_id) ONLY — vectors re-join afterwards (corpus by id, queries
+        from a BroadcastExchange, which is exempt: queries are small by
+        contract).  Guards the r2 regression where q_vec (dim floats per
+        candidate row) rode every shuffle Exchange of the dedup."""
+        import re
+
+        from mysql_data_quality_spark.operators import ann
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = _plan(ann.lsh_cosine_topk(emb, queries, dim=64, k=5))
+        blocks = re.split(r"\n\n", plan)
+        shuffle_blocks = [
+            b
+            for b in blocks
+            if re.match(r"\(\d+\) Exchange", b.strip())
+        ]
+        assert shuffle_blocks, "expected shuffle Exchange detail blocks"
+        for b in shuffle_blocks:
+            assert "array<" not in b, f"vector rides a shuffle:\n{b}"
+
     def test_q1_reads_only_needed_columns(self, spark):
         plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
         import re
