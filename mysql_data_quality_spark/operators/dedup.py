@@ -48,6 +48,8 @@ def exact_duplicate_groups(
     text_col: str,
     normalize: bool = True,
     max_ids_per_group: int | None = 100,
+    cap_salts: int = 64,
+    group_size_bound: int | None = None,
 ) -> DataFrame:
     """Groups of exact (optionally normalized) duplicate documents.
 
@@ -65,6 +67,17 @@ def exact_duplicate_groups(
     ``cap`` smallest ids; ``dup_count`` is always the FULL group size.
     Pass ``None`` for the exact full-list output (tiny-scale oracle
     parity).
+
+    ``group_size_bound`` declares the corpus benign: "no text repeats more
+    than this many times" (e.g. a shard that was already deduped upstream,
+    or a corpus constructed with bounded duplicity).  The capped path then
+    runs ONE phase — same capped output, one id-shuffle instead of two —
+    with agg buffers ≤ bound instead of ≤ group/cap_salts.  A violated
+    bound risks executor memory pressure, never wrong results (the slice
+    still caps the output and dup_count stays exact).  At 100 TB the text
+    scan + md5 dominates and the two-phase's extra id-row shuffle is
+    noise, so the salted default is the safe choice there; the hint
+    matters at small scale where per-row shuffle cost is visible.
     """
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
@@ -80,7 +93,19 @@ def exact_duplicate_groups(
             )
             .where(F.col("dup_count") > 1)
         )
-    cap_salts = 64
+    if group_size_bound is not None:
+        return (
+            hashed.groupBy("text_md5")
+            .agg(
+                F.count("*").alias("dup_count"),
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    max_ids_per_group,
+                ).alias("doc_ids"),
+            )
+            .where(F.col("dup_count") > 1)
+        )
     salted = hashed.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cap_salts)).cast("int"),

@@ -96,6 +96,14 @@ class TestDedup:
             df, "doc_id", "text", max_ids_per_group=None
         ).collect()
         assert full[0]["doc_ids"] == list(range(300))
+        # declared-benign one-phase path: identical capped output even
+        # when the declared bound is violated (bound is a memory hint,
+        # never a correctness input)
+        hinted = dedup.exact_duplicate_groups(
+            df, "doc_id", "text", max_ids_per_group=50, group_size_bound=10
+        ).collect()
+        assert hinted[0]["dup_count"] == 300
+        assert hinted[0]["doc_ids"] == list(range(50))
 
     def test_simhash_matches_r1_spec(self, spark, near_dup_docs):
         """The hash-once/fold-once rewrite must produce BIT-IDENTICAL
