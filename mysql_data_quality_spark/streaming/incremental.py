@@ -101,10 +101,18 @@ def start_windowed_metrics_stream(
     watermark: str = "2 hours",
     query_name: str = "qf_windowed_metrics",
     sink_path: str | None = None,
+    rules: tuple | None = None,
 ):
     """Event-time rule-hit metrics: tumbling windows over ``warc_ts`` with a
     watermark for late pages — the Structured-Streaming analogue of the
     per-run metrics table (kept/dropped counts per crawl-time window).
+
+    The aggregate is built from the SAME rule registry as the batch
+    metrics path (``quality_filter._metric_aggs`` over
+    ``heuristics.all_rule_severities(rules)``), so the windowed metrics
+    table has one column per registered rule — identical column set to
+    the batch metrics aggregate, and rule overrides (``rules=``/env)
+    apply to both paths without drift.
 
     Late data beyond the watermark is dropped from the aggregation state;
     state size is bounded by (windows in flight) x (constant columns) —
@@ -117,24 +125,20 @@ def start_windowed_metrics_stream(
     from pyspark.sql import functions as F
 
     from mysql_data_quality_spark.pipeline import quality_filter as QF
+    from mysql_data_quality_spark.rules import heuristics
 
     stream = stream_pages(spark, input_dir)
-    ann = QF.annotate(stream)
+    ann = QF.annotate(stream, rules=rules)
+    severities = heuristics.all_rule_severities(rules)
     agg = (
         ann.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.sum(F.col("hit_toxicity_blocklist").cast("long")).alias(
-                "n_toxic"
-            ),
-        )
+        .agg(*QF._metric_aggs(severities))
         .select(
             F.col("w.start").alias("window_start"),
-            "n_docs",
-            "n_kept",
-            "n_toxic",
+            "_total",
+            *severities,
+            "_dropped",
         )
     )
     writer = agg.writeStream.outputMode("append").option(
