@@ -71,8 +71,29 @@ def _bloom_positions(url: str, m_bits: int, k: int) -> list[int]:
 
 
 def _bloom_fn_factory(m_bits: int, k: int):
-    """applyInPandasWithState function: fixed-size Bloom 'seen' state."""
+    """applyInPandasWithState function: fixed-size Bloom 'seen' state.
+
+    The membership PROBE is vectorized — one numpy gather tests every
+    row's k bits against the incoming state at once — and the inherently
+    sequential part (insertion order is "first wins": an earlier row's
+    set bits must be visible to later rows) loops only over the rows the
+    prefilter marked probable-fresh, which in steady-state crawling
+    (mostly re-crawls) is a small fraction of the batch.  Positions are
+    computed as (h1 % m + i·(h2 % m)) % m in uint64 — exact for any
+    m < 2^59, so identical to :func:`_bloom_positions`'s bigint math."""
     import numpy as np
+
+    ks = np.arange(k, dtype=np.uint64)
+
+    def positions(urls) -> "np.ndarray":
+        """n × k bit positions, vectorized double hashing off md5."""
+        digest = b"".join(
+            hashlib.md5((u or "").encode("utf-8")).digest() for u in urls
+        )
+        h = np.frombuffer(digest, dtype=">u8").astype(np.uint64).reshape(-1, 2)
+        h1 = h[:, 0] % np.uint64(m_bits)
+        h2 = (h[:, 1] | np.uint64(1)) % np.uint64(m_bits)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m_bits)
 
     def fn(
         key: Tuple[Any, ...],
@@ -91,13 +112,22 @@ def _bloom_fn_factory(m_bits: int, k: int):
             pdf = pdf.sort_values(
                 ["warc_ts", "url"], kind="mergesort", ignore_index=True
             )
+            pos = positions(pdf["url"])  # n × k
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+            mask = np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            )
+            # vectorized probe vs the state as of batch start
+            seen = ((bits[byte_idx] & mask) != 0).all(axis=1)
             fresh_rows = []
-            for i, url in enumerate(pdf["url"]):
-                pos = _bloom_positions(url, m_bits, k)
-                if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+            for i in np.flatnonzero(~seen):
+                # re-test: an earlier probable-fresh row may have set bits
+                bi, mi = byte_idx[i], mask[i]
+                if ((bits[bi] & mi) != 0).all():
                     continue  # (probably) seen — never emits a duplicate
-                for p in pos:
-                    bits[p >> 3] |= 1 << (p & 7)
+                # ufunc.at: two positions can land in the SAME byte, which
+                # plain fancy-index |= would silently collapse
+                np.bitwise_or.at(bits, bi, mi)
                 n += 1
                 fresh_rows.append(i)
             out = pdf.iloc[fresh_rows][["url", "warc_ts", "text", "lang"]]

@@ -48,9 +48,56 @@ class TestStreaming:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("keep").cast("long")).alias("k"),
         ).collect()[0]
-        assert 0 < got["n_docs"].sum() <= totals["n"]
-        assert got["n_kept"].sum() <= totals["k"]
-        assert (got["n_kept"] <= got["n_docs"]).all()
+        kept = got["_total"] - got["_dropped"]
+        assert 0 < got["_total"].sum() <= totals["n"]
+        assert kept.sum() <= totals["k"]
+        assert (kept <= got["_total"]).all()
+
+    def test_windowed_metrics_columns_match_batch_registry(
+        self, spark, tmp_path
+    ):
+        """The windowed stream aggregate must be registry-driven: one
+        column per rule in heuristics.all_rule_severities(), exactly the
+        batch metrics aggregate's column set (r2 verdict: the stream path
+        hardcoded toxicity_blocklist only) — and per-window values must
+        EQUAL a batch aggregation of the same input grouped by the same
+        window."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.pipeline import quality_filter as QFm
+        from mysql_data_quality_spark.rules import heuristics
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        pages.write.parquet(in_dir)
+        q = incremental.start_windowed_metrics_stream(
+            spark, in_dir, str(tmp_path / "ckpt"), query_name="wm_cols"
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from wm_cols").toPandas()
+        severities = heuristics.all_rule_severities()
+        batch_cols = [
+            f.name
+            for f in QF.annotate(pages)
+            .agg(*QFm._metric_aggs(severities))
+            .schema.fields
+        ]
+        assert list(got.columns) == ["window_start"] + batch_cols
+        assert set(severities) <= set(got.columns)  # every rule present
+        # per-window equality vs the batch path on the same input
+        want = (
+            QF.annotate(pages)
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"))
+            .agg(*QFm._metric_aggs(severities))
+            .select(F.col("w.start").alias("window_start"), *batch_cols)
+            .toPandas()
+        )
+        merged = got.merge(
+            want, on="window_start", suffixes=("_s", "_b"), how="left"
+        )
+        assert len(merged) == len(got) > 0
+        for c in batch_cols:
+            assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
 
     def test_stream_restart_no_reprocess(self, spark, tmp_path):
         pages = P.read_pages(spark, SF_SMOKE)
@@ -167,6 +214,119 @@ class TestSkew:
         assert per_salt["count"].max() < 1000 * 0.25  # no salt owns the key
 
 
+class _FakeState:
+    """Minimal GroupState stand-in: lets the applyInPandasWithState user
+    function run as a plain Python function (no JVM)."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+class TestBloomVectorizedParity:
+    def test_vectorized_probe_matches_per_row_spec(self):
+        """The numpy-vectorized Bloom fn must emit exactly the rows (and
+        end with exactly the bit state) of the per-row reference loop
+        built on _bloom_positions — including in-batch duplicates,
+        cross-batch re-crawls, and a NON-power-of-two m_bits (where a
+        wrap-around uint64 modulo would silently diverge from bigint
+        math)."""
+        import numpy as np
+        import pandas as pd
+
+        from mysql_data_quality_spark.streaming.stateful import (
+            _bloom_fn_factory,
+            _bloom_positions,
+        )
+
+        m_bits, k = 8 * 12347, 4  # byte-aligned, not a power of two
+        urls1 = [f"http://ex{i}.com/p" for i in range(200)] + [
+            "http://ex5.com/p",  # in-batch duplicate
+            "http://ex5.com/p",
+        ]
+        urls2 = [f"http://ex{i}.com/p" for i in range(150, 260)]  # overlap
+
+        def batch(urls, t0):
+            return pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": pd.to_datetime(t0, unit="s")
+                    + pd.to_timedelta(range(len(urls)), unit="s"),
+                    "text": ["x"] * len(urls),
+                    "lang": ["en"] * len(urls),
+                }
+            )
+
+        # reference: the exact per-row loop (r2 implementation)
+        def reference(batches):
+            bits = bytearray(m_bits // 8)
+            emitted = []
+            for pdf in batches:
+                pdf = pdf.sort_values(
+                    ["warc_ts", "url"], kind="mergesort", ignore_index=True
+                )
+                for _, row in pdf.iterrows():
+                    pos = _bloom_positions(row["url"], m_bits, k)
+                    if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                        continue
+                    for p in pos:
+                        bits[p >> 3] |= 1 << (p & 7)
+                    emitted.append(row["url"])
+            return emitted, bytes(bits)
+
+        fn = _bloom_fn_factory(m_bits, k)
+        state = _FakeState()
+        got = []
+        for b in (batch(urls1, 10), batch(urls2, 1000)):
+            for out in fn(("k",), iter([b]), state):
+                got.extend(out["url"].tolist())
+        want, want_bits = reference([batch(urls1, 10), batch(urls2, 1000)])
+        assert got == want
+        assert state.get[0] == want_bits
+        assert state.get[1] == len(want)
+
+    def test_vectorized_probe_faster_than_per_row(self):
+        """The point of the rewrite: probing a mostly-seen batch is a
+        numpy gather, not len(batch) Python hash loops.  Assert the
+        all-seen re-probe beats a conservative bound (the per-row loop
+        measured ~10x slower on this shape)."""
+        import time
+
+        import pandas as pd
+
+        from mysql_data_quality_spark.streaming.stateful import (
+            _bloom_fn_factory,
+        )
+
+        m_bits, k, n = 1 << 23, 4, 20_000
+        urls = [f"http://bench{i}.example.com/path" for i in range(n)]
+        pdf = pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": pd.to_datetime(0, unit="s")
+                + pd.to_timedelta(range(n), unit="s"),
+                "text": ["x"] * n,
+                "lang": ["en"] * n,
+            }
+        )
+        fn = _bloom_fn_factory(m_bits, k)
+        state = _FakeState()
+        list(fn(("k",), iter([pdf]), state))  # insert all (sequential path)
+        t0 = time.perf_counter()
+        out = list(fn(("k",), iter([pdf]), state))  # all seen: pure probe
+        probe_sec = time.perf_counter() - t0
+        assert out == []  # nothing re-emitted
+        assert probe_sec < 1.0  # 20k-row probe in well under a second
+
+
 class TestDurableMetricsSink:
     def test_windowed_metrics_to_parquet(self, spark, tmp_path):
         pages = P.read_pages(spark, SF_SMOKE)
@@ -178,11 +338,13 @@ class TestDurableMetricsSink:
         )
         q.awaitTermination(120)
         got = spark.read.parquet(sink).toPandas()
-        assert {"window_start", "n_docs", "n_kept", "n_toxic"} <= set(
-            got.columns
-        )
-        assert got["n_docs"].sum() > 0
-        assert (got["n_kept"] <= got["n_docs"]).all()
+        from mysql_data_quality_spark.rules import heuristics
+
+        assert {"window_start", "_total", "_dropped"} | set(
+            heuristics.all_rule_severities()
+        ) <= set(got.columns)
+        assert got["_total"].sum() > 0
+        assert (got["_dropped"] <= got["_total"]).all()
 
 
 class TestBatchWriterIdempotence:
