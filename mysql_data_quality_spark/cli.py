@@ -115,6 +115,71 @@ def cmd_list_tables(args) -> int:
         return 0
 
 
+def cmd_describe_table(args) -> int:
+    """Reference ``describe-table`` (cli.py:135-178): table name, record
+    count, and a column table (name / type / nullable).  TABLE is a
+    parquet path by default; with ``--jdbc-url`` it is a database table
+    name read through the JDBC source."""
+    from mysql_data_quality_spark.sources.registry import (
+        get_table_count,
+        get_table_info,
+        read_jdbc,
+    )
+
+    with _Session(args.cores) as spark:
+        if args.jdbc_url:
+            df = read_jdbc(spark, args.jdbc_url, args.table)
+            name = args.table
+        else:
+            df = spark.read.parquet(args.table)
+            name = Path(args.table).stem
+        print(f"Table: {name}")
+        print(f"Records: {get_table_count(df):,}")
+        print(f"{'column':<28} {'type':<20} nullable")
+        for c in get_table_info(df):
+            nullable = "YES" if c["nullable"] else "NO"
+            print(f"{c['name']:<28} {c['type']:<20} {nullable}")
+        return 0
+
+
+def cmd_test_connection(args) -> int:
+    """Reference ``test-connection`` (cli.py:21-46): open the connection,
+    run a trivial probe, report success/failure.  The target is ``--url``
+    (any JDBC url) or, like the reference, the ``DB_*`` environment
+    (DB_DRIVER/DB_HOST/DB_PORT/DB_NAME/DB_USER/DB_PASSWORD via
+    ``DatabaseConfig``).  ``--probe-query`` overrides the probe for
+    dialects without bare SELECT (Derby: ``VALUES 1`` needs a FROM-less
+    form — pass ``SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1``)."""
+    from mysql_data_quality_spark.core.config import DatabaseConfig, load_dotenv
+    from mysql_data_quality_spark.sources.registry import read_jdbc
+
+    options: dict[str, str] = {}
+    if args.url:
+        url = args.url
+        target = url
+    else:
+        load_dotenv()
+        db = DatabaseConfig.from_env()
+        url, options, target = (
+            db.jdbc_url,
+            db.jdbc_options,
+            f"{db.driver}://{db.host}:{db.port}/{db.name}",
+        )
+    print(f"Testing connection to {target} ...")
+    dbtable = f"({args.probe_query}) probe"
+    with _Session(args.cores) as spark:
+        try:
+            row = read_jdbc(
+                spark, url, dbtable, driver=args.driver, **options
+            ).limit(1).collect()
+        except Exception as e:  # noqa: BLE001 — CLI boundary, report & exit
+            first = str(e).splitlines()[0] if str(e) else repr(e)
+            print(f"Connection failed: {first}")
+            return 1
+        print(f"Connection successful! probe returned {len(row)} row(s)")
+        return 0
+
+
 def cmd_filter(args) -> int:
     """Run the checkpointed quality-filter pipeline.
 
@@ -172,6 +237,23 @@ def build_parser() -> argparse.ArgumentParser:
     lt = sub.add_parser("list-tables", help="list parquet tables + counts")
     lt.add_argument("directory")
     lt.set_defaults(fn=cmd_list_tables)
+
+    dt = sub.add_parser(
+        "describe-table", help="table structure: columns, types, count"
+    )
+    dt.add_argument("table", help="parquet path, or table name with --jdbc-url")
+    dt.add_argument("--jdbc-url", default=None)
+    dt.set_defaults(fn=cmd_describe_table)
+
+    tc = sub.add_parser("test-connection", help="probe a JDBC connection")
+    tc.add_argument("--url", default=None, help="JDBC url (else DB_* env)")
+    tc.add_argument("--driver", default=None, help="JDBC driver class")
+    tc.add_argument(
+        "--probe-query",
+        default="SELECT 1 AS ok",
+        help="probe statement (dialect-specific; see --help text)",
+    )
+    tc.set_defaults(fn=cmd_test_connection)
 
     f = sub.add_parser("filter", help="run the quality-filter pipeline")
     src = f.add_mutually_exclusive_group(required=True)

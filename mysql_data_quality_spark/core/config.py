@@ -76,6 +76,49 @@ class AppConfig:
 
 
 @dataclass(frozen=True)
+class DatabaseConfig:
+    """Reference DatabaseConfig analogue (config.py:13-48): connection
+    parameters from ``DB_*`` environment variables, rendered as a Spark
+    JDBC url + options instead of a SQLAlchemy connection string.
+
+    The reference validates ``driver in ["mysql"]``; here any scheme with
+    a JDBC driver on the classpath works (mysql, postgresql, derby, ...)
+    — the scheme IS the dialect in Spark's JDBC source."""
+
+    host: str = "localhost"
+    port: int = 3306
+    name: str = ""
+    user: str = ""
+    password: str = ""
+    driver: str = "mysql"
+
+    @classmethod
+    def from_env(cls, env: Mapping[str, str] | None = None) -> "DatabaseConfig":
+        env = env if env is not None else os.environ
+        return cls(
+            host=env.get("DB_HOST", "localhost"),
+            port=int(env.get("DB_PORT", "3306")),
+            name=env.get("DB_NAME", ""),
+            user=env.get("DB_USER", ""),
+            password=env.get("DB_PASSWORD", ""),
+            driver=env.get("DB_DRIVER", "mysql"),
+        )
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:{self.driver}://{self.host}:{self.port}/{self.name}"
+
+    @property
+    def jdbc_options(self) -> dict[str, str]:
+        opts: dict[str, str] = {}
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        return opts
+
+
+@dataclass(frozen=True)
 class DuplicatesConfig:
     """The four duplicate-validation lists (.env.example:22-37)."""
 
@@ -165,6 +208,7 @@ class Config:
     app: AppConfig = field(default_factory=AppConfig)
     duplicates: DuplicatesConfig = field(default_factory=DuplicatesConfig)
     rules: tuple = ()
+    database: DatabaseConfig = field(default_factory=DatabaseConfig)
 
 
 def load_config(
@@ -177,4 +221,5 @@ def load_config(
         app=AppConfig.from_env(env),
         duplicates=DuplicatesConfig.from_env(env),
         rules=rules_from_env(env),
+        database=DatabaseConfig.from_env(env),
     )

@@ -87,6 +87,14 @@ def read_jdbc(
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # passing None through would send the literal string 'None' as
+            # the JDBC bound and fail confusingly inside the datasource
+            raise ValueError(
+                "read_jdbc: partition_column requires both lower_bound and "
+                "upper_bound (got lower_bound="
+                f"{lower_bound!r}, upper_bound={upper_bound!r})"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions or 8))
