@@ -29,7 +29,7 @@ _WRITERS = {
         res, tbl, out, base_name=base
     ),
     "html": lambda res, tbl, out, meta, base: write_html_report(
-        res, tbl, out, base_name=base
+        res, tbl, out, base_name=base, metadata=meta
     ),
 }
 

@@ -18,13 +18,24 @@ class TestHtmlReport:
         )
 
         res = QF.metrics(QF.annotate(P.read_pages(spark, SF_CORRECT)))
-        path = write_html_report(res, "pages", tmp_path)
+        path = write_html_report(
+            res, "pages", tmp_path, metadata={"sf": "0.01", "note": None}
+        )
         text = path.read_text()
         assert "Data Quality Report — pages" in text
         assert "Quality score:" in text
         for sev in ("CRITICAL", "ERROR", "WARNING", "INFO"):
             assert f"<h2>{sev}</h2>" in text
         assert "toxicity_blocklist" in text
+        # reference-parity structure (html_report.py:71-117,119-220):
+        # summary cards, validator+severity breakdowns, per-result detail,
+        # metadata footer with None -> N/A
+        assert "Summary" in text and "class='cards'" in text
+        assert "Validator Breakdown" in text
+        assert "Severity Breakdown" in text
+        assert "pass rate" in text and "class='details'" in text
+        assert "Metadata: sf: 0.01, note: N/A" in text
+        assert "Generated on" in text
 
 
 class TestCli:
@@ -82,6 +93,92 @@ class TestCli:
 
 
 class TestCliFilter:
+    def test_describe_table_command(self, spark, capsys):
+        from mysql_data_quality_spark import cli
+
+        rc = cli.main(["describe-table", f"{SF_CORRECT}/region.parquet"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Table: region" in out
+        assert "Records: 5" in out
+        assert "r_regionkey" in out and "int" in out
+        assert "r_name" in out and "string" in out
+        assert "nullable" in out
+
+    def test_describe_table_command_jdbc(self, spark, tmp_path, capsys):
+        from mysql_data_quality_spark import cli
+
+        url = f"jdbc:derby:{tmp_path / 'ddb'};create=true"
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id: int, name: string"
+        ).write.format("jdbc").option("url", url).option(
+            "dbtable", "things"
+        ).option(
+            "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+        ).save()
+        rc = cli.main(["describe-table", "things", "--jdbc-url", url])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Table: things" in out and "Records: 2" in out
+        assert "ID" in out.upper() and "NAME" in out.upper()
+
+    def test_test_connection_command(self, spark, tmp_path, capsys):
+        """Reference cli.py:21-46 parity: a live probe that succeeds on a
+        reachable database and reports failure (rc=1, no traceback) on an
+        unreachable one."""
+        from mysql_data_quality_spark import cli
+
+        url = f"jdbc:derby:{tmp_path / 'cdb'};create=true"
+        rc = cli.main(
+            [
+                "test-connection",
+                "--url",
+                url,
+                "--probe-query",
+                "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "Connection successful" in out
+
+        rc = cli.main(
+            ["test-connection", "--url", f"jdbc:derby:{tmp_path / 'nope'}"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 1 and "Connection failed" in out
+
+    def test_test_connection_uses_db_env(self, monkeypatch, capsys):
+        """Without --url the command targets the reference's DB_* env
+        surface (DatabaseConfig), like reference load_config."""
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.core.config import DatabaseConfig
+
+        monkeypatch.setenv("DB_HOST", "db.internal")
+        monkeypatch.setenv("DB_PORT", "3307")
+        monkeypatch.setenv("DB_NAME", "crawl")
+        monkeypatch.setenv("DB_USER", "qa")
+        monkeypatch.setenv("DB_PASSWORD", "s3cret")
+        db = DatabaseConfig.from_env()
+        assert db.jdbc_url == "jdbc:mysql://db.internal:3307/crawl"
+        assert db.jdbc_options == {"user": "qa", "password": "s3cret"}
+        # no mysql server in the sandbox: the probe must FAIL cleanly
+        # while showing it targeted the env-configured endpoint
+        rc = cli.main(["test-connection"])
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "mysql://db.internal:3307/crawl" in out
+        assert "Connection failed" in out
+
+    def test_read_jdbc_partition_bounds_validated(self, spark):
+        """ADVICE r2: partition_column without explicit bounds used to
+        send the literal string 'None' to the datasource."""
+        from mysql_data_quality_spark.sources.registry import read_jdbc
+
+        with pytest.raises(ValueError, match="lower_bound"):
+            read_jdbc(
+                spark, "jdbc:derby:memory:x", "t", partition_column="id"
+            )
+
     def test_filter_command_end_to_end(self, spark, tmp_path, monkeypatch, capsys):
         """filter: env-driven rules + checkpointed write + metrics reports
         produced by observe() on the SAME write pass."""
