@@ -81,13 +81,19 @@ class CheckpointedWriter:
     # -- stats from the WRITTEN files (never the upstream plan) ------------
     def _written_stats(self, spark: SparkSession, buckets: list[int]) -> dict:
         """{bucket: (rows, kept)} read back from the just-written partition
-        directories — partition-pruned, reads only the ``keep`` column."""
+        directories — partition-pruned, reads only the ``keep`` column.
+
+        Only the KNOWN empty-output shapes short-circuit to {} (no data
+        dir, or a dir holding nothing but _SUCCESS markers — no
+        ``bucket=*`` partition directories).  Any other read failure
+        propagates: swallowing it here would commit every bucket in the
+        batch to lineage as rows=0 and permanently skip them with wrong
+        counts on resume (ADVICE r2)."""
         if not self.data_dir.exists():
             return {}
-        try:
-            written = spark.read.parquet(str(self.data_dir))
-        except Exception:  # all-empty output: nothing but _SUCCESS on disk
-            return {}
+        if not any(self.data_dir.glob("bucket=*")):
+            return {}  # all-empty output: nothing but _SUCCESS on disk
+        written = spark.read.parquet(str(self.data_dir))
         rows = (
             written
             .where(F.col("bucket").isin(buckets))

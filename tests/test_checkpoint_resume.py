@@ -116,6 +116,35 @@ class TestCheckpointResume:
         assert stats2["input_scans"] == 0
 
 
+class TestWrittenStatsFailures:
+    def test_transient_read_failure_propagates(self, spark, tmp_path):
+        """ADVICE r2: _written_stats used to catch ALL read exceptions and
+        return {}, committing every bucket as rows=0 lineage and
+        permanently skipping it with wrong counts.  A corrupted/unreadable
+        data file must now fail the run BEFORE lineage is committed."""
+        tiny = spark.createDataFrame(
+            [(f"https://x.example/{i}", True) for i in range(50)],
+            "url: string, keep: boolean",
+        )
+        w = CheckpointedWriter(str(tmp_path / "corrupt"), n_buckets=4)
+        w.run(tiny, group_size=2)
+        # corrupt every data file in place (truncate to garbage): the
+        # stats read-back must now RAISE, where the old blanket except
+        # returned {} (i.e. "every bucket wrote rows=0")
+        for p in w.data_dir.rglob("*.parquet"):
+            p.write_bytes(b"not a parquet file")
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            w._written_stats(spark, [0, 1, 2, 3])
+
+    def test_success_marker_only_dir_is_empty_output(self, spark, tmp_path):
+        """The legitimate {} case: a data dir holding only _SUCCESS (a
+        run whose every bucket produced zero rows) reads as no stats."""
+        w = CheckpointedWriter(str(tmp_path / "empty"), n_buckets=4)
+        w.data_dir.mkdir(parents=True)
+        (w.data_dir / "_SUCCESS").write_text("")
+        assert w._written_stats(spark, [0, 1, 2, 3]) == {}
+
+
 class TestRandomizedCrashPoints:
     def test_every_crash_point_converges(self, spark, decisions, tmp_path):
         """Crash after ANY number of lineage commit groups, then resume:
