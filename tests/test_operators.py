@@ -643,6 +643,13 @@ class TestClustersAndUrls:
             ("https://example.com", "https://example.com"),
             ("https://example.com/a/b/", "https://example.com/a/b"),
             (None, ""),
+            # ADVICE r2: strip from the FIRST '#'/'?', not the last
+            ("http://x.com/p#a#b", "http://x.com/p"),
+            ("http://x.com/p?q=a?b", "http://x.com/p"),
+            ("http://x.com/p?q=1#f#g", "http://x.com/p"),
+            # ADVICE r2: default ports are scheme-specific
+            ("http://x.com:443/p", "http://x.com:443/p"),
+            ("https://x.com:80/p", "https://x.com:80/p"),
         ]
         df = spark.createDataFrame([(u,) for u, _ in rows], "url: string")
         got = [
