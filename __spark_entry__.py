@@ -959,6 +959,27 @@ def _qf_decisions_arrow(spark, sf_dir):
     return QF.decisions(_pages(spark, sf_dir), use_arrow_udfs=True)
 
 
+def _qf_dedup_pipeline(spark, sf_dir):
+    """End-to-end corpus pipeline (cli.py filter --dedup): exact-dedup
+    (keep smallest url per normalized-text group) then the full filter."""
+    from mysql_data_quality_spark.operators.dedup import dedup_exact_corpus
+
+    return QF.decisions(dedup_exact_corpus(_pages(spark, sf_dir), "url", "text"))
+
+
+def _qf_dedup_pipeline_sql() -> str:
+    from mysql_data_quality_spark.operators.dedup import dedup_exact_corpus_sql
+
+    return (
+        "with pages as ("
+        + P.pages_cte_sql()
+        + "), pages_d as ("
+        + dedup_exact_corpus_sql("pages", "url", "text")
+        + ") "
+        + QF.decisions_sql("pages_d")
+    )
+
+
 # ===========================================================================
 
 
@@ -971,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_features": _qf_features,
         "qf_rule_hit_totals": _qf_rule_hit_totals,
         "qf_keep_by_lang": _qf_keep_by_lang,
+        "qf_dedup_pipeline": _qf_dedup_pipeline,
         # validator families
         "completeness_orders": _completeness_orders,
         "duplicates_doc_text": _duplicates_doc_text,
@@ -1025,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_features": _qf_features_sql(),
         "qf_rule_hit_totals": _qf_rule_hit_totals_sql(),
         "qf_keep_by_lang": _qf_keep_by_lang_sql(),
+        "qf_dedup_pipeline": _qf_dedup_pipeline_sql(),
         "completeness_orders": _completeness_orders_sql(),
         "duplicates_doc_text": _duplicates_doc_text_sql(),
         "dup_value_counts": (

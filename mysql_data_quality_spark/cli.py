@@ -201,6 +201,15 @@ def cmd_filter(args) -> int:
             if args.input
             else P.read_pages(spark, args.documents)
         )
+        if getattr(args, "dedup", False):
+            # end-to-end corpus pipeline: exact-dedup (keep smallest url
+            # per normalized-text group) BEFORE the filter, so rules and
+            # scrubbing run once per surviving document
+            from mysql_data_quality_spark.operators.dedup import (
+                dedup_exact_corpus,
+            )
+
+            pages = dedup_exact_corpus(pages, "url", "text")
         ann = QF.annotate(pages, rules=rules)
         observed, obs = QF.observe_metrics(ann, rules=rules)
         dec = observed.select(*QF.DECISION_COLS)
@@ -262,6 +271,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--output", required=True)
     f.add_argument("--buckets", type=int, default=16)
     f.add_argument("--group-size", type=int, default=4)
+    f.add_argument(
+        "--dedup",
+        action="store_true",
+        help="exact-dedup the corpus (keep smallest url per normalized "
+        "text) before filtering",
+    )
     f.set_defaults(fn=cmd_filter)
     return ap
 

@@ -688,6 +688,55 @@ select a as doc_id, least(a, min(b)) as cluster_id from reach group by a
 """
 
 
+def dedup_exact_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep ONE document (smallest id) per exact-duplicate text group —
+    the dedup stage of the end-to-end corpus pipeline (``cli.py filter
+    --dedup``).
+
+    Plan shape: the loser list is computed on the (id, md5) PROJECTION —
+    the corpus text never shuffles — then broadcast anti-joined out of
+    the corpus, same contract as :func:`deduplicated_corpus` (losers are
+    the duplicate tail, small relative to the corpus; at web scale dup
+    rates run 20-50%, so if the loser list outgrows broadcast, write it
+    to a table and use a shuffle anti join on the id column instead).
+    Mirrored in SQL by :func:`dedup_exact_corpus_sql`."""
+    t = F.col(text_col)
+    norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.md5(norm).alias("_h")
+    )
+    mins = hashed.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    losers = (
+        hashed.join(mins, on="_h")
+        .where(F.col("_id") != F.col("_keep"))
+        .select(F.col("_id").alias(id_col))
+    )
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def dedup_exact_corpus_sql(
+    rel: str, id_col: str = "url", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for :func:`dedup_exact_corpus`: same md5-of-normalized
+    -text grouping, keep the minimum id per group."""
+    return f"""
+select {rel}.* from {rel}
+join (
+  select {id_col}, row_number() over (
+           partition by md5({normalized_text_sql(text_col)})
+           order by {id_col}
+         ) as _rn
+  from {rel}
+) k using ({id_col})
+where k._rn = 1
+"""
+
+
 def deduplicated_corpus(
     df: DataFrame,
     pairs: DataFrame,

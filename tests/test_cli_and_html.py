@@ -207,3 +207,75 @@ class TestCliFilter:
             "drop_reason like '%min_words%'"
         ).count()
         assert by_rule["keep_rate"]["total_rows"] == dec.count()
+
+    def test_filter_dedup_end_to_end_matches_composed_oracle(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --dedup: the end-to-end corpus pipeline (exact-dedup ->
+        filter -> checkpointed write) in ONE resumable job, byte-compared
+        against the DuckDB composition of the dedup and decision oracles."""
+        import duckdb
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.operators.dedup import (
+            dedup_exact_corpus_sql,
+        )
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out_dir,
+             "--buckets", "4", "--dedup"]
+        )
+        assert rc == 0
+        got = (
+            spark.read.parquet(f"{out_dir}/data")
+            .drop("bucket")
+            .orderBy("url")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "create view documents as "
+            f"select * from '{SF_SMOKE}/documents.parquet'"
+        )
+        oracle = con.sql(
+            "with pages as (" + P.pages_cte_sql() + "), pages_d as ("
+            + dedup_exact_corpus_sql("pages", "url", "text") + ") "
+            + QF.decisions_sql("pages_d") + " order by url"
+        ).df()
+        assert len(got) == len(oracle) > 0
+        assert list(got.columns) == list(oracle.columns)
+        for c in got.columns:
+            assert (got[c].values == oracle[c].values).all(), c
+        # sf0.001 has no exact-dup texts: dedup must be a no-op here
+        assert len(got) == P.read_pages(spark, SF_SMOKE).count()
+        # dedup effectiveness: re-run over a corpus with injected
+        # duplicate texts (same text, different urls) via --input
+        from pyspark.sql import functions as F
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        dup_in = str(tmp_path / "dup_pages")
+        pages.union(
+            pages.limit(40).withColumn(
+                "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+            )
+        ).write.parquet(dup_in)
+        dup_out = str(tmp_path / "dup_out")
+        rc = cli.main(
+            ["filter", "--input", dup_in, "--output", dup_out,
+             "--buckets", "4", "--dedup"]
+        )
+        assert rc == 0
+        n_dedup = spark.read.parquet(f"{dup_out}/data").count()
+        assert n_dedup == pages.count()  # the 40 mirrors deduped away
+        # resume is a no-op on the composed job too
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out_dir,
+             "--buckets", "4", "--dedup"]
+        )
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and stats["written"] == 0 and stats["skipped"] == 4
