@@ -42,6 +42,9 @@ def main() -> None:
                     help="skip buckets already recorded in lineage")
     ap.add_argument("--arrow-udfs", action="store_true",
                     help="score langid/perplexity via Arrow pandas UDFs")
+    ap.add_argument("--dedup", action="store_true",
+                    help="exact-dedup (keep smallest url per normalized "
+                    "text) before filtering")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -58,6 +61,12 @@ def main() -> None:
         else:
             pages = P.read_pages(spark, args.documents)
 
+        if args.dedup:
+            from mysql_data_quality_spark.operators.dedup import (
+                dedup_exact_corpus,
+            )
+
+            pages = dedup_exact_corpus(pages, "url", "text")
         ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
         # rule-hit metrics ride the write pass via observe() — no second
         # pipeline execution (quality_filter.observe_metrics)
