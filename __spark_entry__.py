@@ -936,6 +936,19 @@ def _lsh_cosine_topk(spark, sf_dir):
     return ann.lsh_cosine_topk(emb, queries, dim=64, k=10, bits=4, tables=8)
 
 
+def _ivf_cosine_topk(spark, sf_dir):
+    """IVF (coarse k-means quantizer) approximate top-k — the classic
+    inverted-file ANN path alongside the hyperplane-LSH variant; k-means
+    training is engine-specific, so rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.ivf_cosine_topk(
+        emb, queries, dim=64, k=10, n_centroids=16, n_probe=6
+    )
+
+
 def _embedding_lsh_near_pairs(spark, sf_dir):
     """Bucketed all-pairs near-dup (scale path; embedding_near_pairs is its
     O(n²) tiny-scale oracle); rows-only check."""
@@ -1030,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         # rows-only (non-SQL-expressible: engine-specific hashes/sketches)
         "lsh_cosine_topk": _lsh_cosine_topk,
+        "ivf_cosine_topk": _ivf_cosine_topk,
         "embedding_lsh_near_pairs": _embedding_lsh_near_pairs,
         "winnowing_fingerprints": _winnowing_fingerprints,
         "minhash_pairs_docs": _minhash_pairs_docs,

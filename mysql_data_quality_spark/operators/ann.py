@@ -252,6 +252,135 @@ def lsh_cosine_topk(
     return _topk_per_query(scored, k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant: coarse k-means quantizer + probed buckets
+# ---------------------------------------------------------------------------
+def _train_centroids_deterministic(
+    sample: "np.ndarray", n_centroids: int, iters: int = 8
+) -> "np.ndarray":
+    """Lloyd iterations on a driver-side sample, fully deterministic: no
+    RNG object — init picks every ``len//n_centroids``-th row of the
+    (already deterministically chosen) sample, ties in assignment break
+    to the lowest centroid id, empty centroids keep their previous
+    position.  Rows are L2-normalized so euclidean k-means == spherical
+    k-means (cosine)."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.where(norms == 0, 1.0, norms)
+    step = max(1, len(x) // n_centroids)
+    cent = x[::step][:n_centroids].copy()
+    if len(cent) < n_centroids:  # tiny corpus: pad by repeating
+        cent = np.vstack([cent] * ((n_centroids // max(len(cent), 1)) + 1))[
+            :n_centroids
+        ]
+    for _ in range(iters):
+        sims = np.einsum("nd,cd->nc", x, cent, optimize=False)
+        assign = np.argmax(sims, axis=1)  # ties -> lowest id (argmax rule)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    return cent
+
+
+def _centroid_assign_udf(centroids: "np.ndarray", n_probe: int):
+    """Arrow UDF: top-``n_probe`` centroid ids per vector by cosine, one
+    einsum per batch (same determinism argument as
+    :func:`signatures_pandas_udf`: fixed-order contraction, so
+    assignments are identical across partitionings)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("array<int>")
+    def assign(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        sims = np.einsum("nd,cd->nc", mat, cent, optimize=False)
+        # stable top-n_probe: sort by (-sim, centroid_id)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an inverted file: the classic
+    coarse-quantizer ANN path (complement to :func:`lsh_cosine_topk`).
+
+    1. TRAIN — spherical k-means on a deterministic driver-side sample
+       (the ``train_sample`` corpus vectors with the smallest
+       ``xxhash64(id)``: a uniform, seed-free, partitioning-independent
+       sample).  Collecting the sample is bounded by ``train_sample``
+       regardless of corpus size — standard IVF training; at 10^12 rows
+       train once and persist the centroid matrix.
+    2. ASSIGN — broadcast the centroid matrix inside an Arrow UDF; each
+       corpus vector gets its nearest-centroid list id (one einsum per
+       batch, no per-row Python).
+    3. PROBE — each query probes its ``n_probe`` nearest lists; the
+       candidate join carries only (centroid_id, vec_id): vectors re-join
+       by id for the exact cosine re-rank, so reported cosines are
+       bit-identical to brute force (only WHICH candidates are seen is
+       approximate).  Expected candidate fraction ≈ n_probe/n_centroids.
+    """
+    ids = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    sample_rows = (
+        ids.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(train_sample)
+        .select("c_vec")
+        .collect()
+    )
+    sample = np.array([r["c_vec"] for r in sample_rows], dtype=np.float64)
+    n_centroids = min(n_centroids, max(1, len(sample)))
+    centroids = _train_centroids_deterministic(sample, n_centroids)
+    assign1 = _centroid_assign_udf(centroids, 1)
+    assignp = _centroid_assign_udf(centroids, min(n_probe, n_centroids))
+    c = ids.select(
+        "vec_id", F.element_at(assign1(F.col("c_vec")), 1).alias("cid")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(assignp(F.col(vec_col))).alias("cid"),
+        )
+    )
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    cand = (
+        c.join(q, on="cid")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(ids, on="vec_id")
+        .join(qvecs, on="query_id")
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)
+
+
 def lsh_near_pairs(
     corpus: DataFrame,
     dim: int,

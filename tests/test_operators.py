@@ -226,6 +226,57 @@ class TestAnn:
         r1 = approx[approx["rank"] == 1]
         assert (r1["query_id"].values == r1["vec_id"].values).all()
 
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF coarse-quantizer variant: probing n_probe of n_centroids
+        lists recovers most of the exact top-k, with bit-identical
+        cosines (re-rank is exact); self-match survives (a vector's own
+        list is always its query's top probe)."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = ann.cosine_topk(emb, q, k=5).toPandas()
+        approx = ann.ivf_cosine_topk(
+            emb, q, dim=64, k=5, n_centroids=16, n_probe=6
+        ).toPandas()
+        recall = 0.0
+        for qid in range(10):
+            e = set(exact[exact.query_id == qid].vec_id)
+            a = set(approx[approx.query_id == qid].vec_id)
+            recall += len(e & a) / len(e)
+        recall /= 10
+        assert recall >= 0.6, f"recall {recall:.2f}"
+        r1 = approx[approx["rank"] == 1]
+        assert (r1["query_id"].values == r1["vec_id"].values).all()
+        assert (r1["cosine"] > 0.999999).all()
+        # exact re-rank: cosines of recovered pairs are bit-identical
+        merged = approx.merge(
+            exact, on=["query_id", "vec_id"], suffixes=("_a", "_e")
+        )
+        assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+    def test_ivf_partition_invariant(self, spark):
+        """Deterministic training sample (smallest xxhash64(id)), seedless
+        Lloyd init, and einsum assignment: the IVF result must be
+        identical for any input partitioning."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def run(parts):
+            return (
+                ann.ivf_cosine_topk(
+                    emb.repartition(parts), q, dim=64, k=5,
+                    n_centroids=8, n_probe=3,
+                )
+                .orderBy("query_id", "rank")
+                .toPandas()
+            )
+
+        a, b = run(1), run(13)
+        assert a.equals(b)
+
     def test_lsh_near_pairs_recall_vs_crossjoin(self, spark):
         """Bucketed all-pairs (the scale path) must recover >=95% of the
         exact crossJoin pairs at the oracle threshold, with exact cosines
