@@ -524,12 +524,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # NB: no distinct here — the output may carry duplicate edges, which
+    # change nothing for the following small-star (its per-group min and
+    # final distinct absorb them) and dropping the exchange saves one
+    # shuffle per composite round.
     return (
         nbrs.join(m, on="src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
