@@ -51,6 +51,9 @@ def start_filter_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    dedup: bool = False,
+    n_state_buckets: int = 16,
+    dedup_state: str = "exact",
 ):
     """Run the quality filter incrementally; decisions land as parquet
     partitioned by ``batch_id``.
@@ -60,8 +63,28 @@ def start_filter_stream(
     ``batch_id``-partitioned dynamic overwrite makes the at-least-once
     replay idempotent: re-delivering batch N rewrites partition
     ``batch_id=N`` in place rather than appending duplicates.
+
+    ``dedup=True`` is the streaming analogue of ``cli filter --dedup``:
+    the stateful first-seen-url stage (:func:`stateful.first_seen_pages`;
+    ``dedup_state="bloom"`` for the constant-state unbounded-crawl mode)
+    runs BEFORE the rule plan, so re-crawled urls arriving in later
+    micro-batches never re-emit decisions.  Note the batch command dedups
+    on exact TEXT within one corpus snapshot, while a stream has no
+    corpus-wide view — first-seen-URL is the streaming-correct dedup
+    granularity (pair it with url canonicalization upstream).
     """
     stream = stream_pages(spark, input_dir)
+    if dedup:
+        from mysql_data_quality_spark.streaming.stateful import (
+            first_seen_pages,
+        )
+
+        # first_seen_pages' output drops `html` (binary payloads don't
+        # belong in the stateful stage) — fine: the rule plan never
+        # references it (quality_filter module contract)
+        stream = first_seen_pages(
+            stream, n_state_buckets=n_state_buckets, state=dedup_state
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         write_decisions_batch(batch_df, batch_id, output_dir)

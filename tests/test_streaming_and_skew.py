@@ -99,6 +99,36 @@ class TestStreaming:
         for c in batch_cols:
             assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
 
+    def test_dedup_filter_stream_composition(self, spark, tmp_path):
+        """Streaming analogue of `cli filter --dedup`: first-seen-url
+        dedup composed with the rule plan in ONE stream.  Overlapping
+        file drops (every url re-crawled in drop 2) must yield exactly
+        one decision per url, byte-identical to the batch decisions for
+        those pages."""
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        half = pages.where("length(url) % 2 = 0")
+        half.write.mode("append").parquet(in_dir)
+        q = incremental.start_filter_stream(
+            spark, in_dir, out_dir, ckpt, dedup=True
+        )
+        q.awaitTermination(120)
+        # drop 2: full corpus (all of drop 1 are re-crawls)
+        pages.write.mode("append").parquet(in_dir)
+        q2 = incremental.start_filter_stream(
+            spark, in_dir, out_dir, ckpt, dedup=True
+        )
+        q2.awaitTermination(120)
+        got = spark.read.parquet(out_dir)
+        assert got.count() == pages.count()  # one decision per url
+        assert got.select("url").distinct().count() == pages.count()
+        streamed = got.drop("batch_id").orderBy("url").toPandas()
+        batch = QF.decisions(pages).orderBy("url").toPandas()
+        for c in batch.columns:
+            assert (streamed[c].values == batch[c].values).all(), c
+
     def test_stream_restart_no_reprocess(self, spark, tmp_path):
         pages = P.read_pages(spark, SF_SMOKE)
         in_dir = str(tmp_path / "in")
