@@ -113,6 +113,8 @@ class CheckpointedWriter:
         group_size: int = 4,
         fail_after_groups: int | None = None,
         max_buckets_per_scan: int | None = None,
+        files_per_bucket: int | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict:
         """Write ``df`` (must contain `keep`), all missing buckets per scan.
 
@@ -121,6 +123,23 @@ class CheckpointedWriter:
         anything is written).  Returns run stats.  Already-completed buckets
         are skipped, so re-running after a crash converges to the identical
         final table.
+
+        Small-files control (the 100 TB sink problem: by default every
+        upstream task opens a file in every bucket it holds rows for —
+        up to tasks × buckets files per run):
+
+        * ``files_per_bucket=k`` repartitions the batch on (bucket,
+          deterministic salt of the key) before the write, so each bucket
+          lands in at most ``k`` files (exactly 1 for k=1; pay one
+          shuffle of the decision rows — narrow — for an orderly layout;
+          size k so a bucket's share of the corpus / k ≈ the target file
+          size);
+        * ``max_records_per_file`` caps rows per file (Spark splits
+          oversized partitions at write time) — the guard when one bucket
+          is unexpectedly hot.
+
+        Neither affects row content: resume/idempotence semantics are
+        unchanged (pinned by test).
         """
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -136,9 +155,22 @@ class CheckpointedWriter:
         for ci in range(0, len(todo), chunk):
             batch = todo[ci : ci + chunk]
             # ONE job: pipeline scan → bucket-partitioned dynamic overwrite
-            bdf.where(F.col("bucket").isin(batch)).write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(str(self.data_dir))
+            out = bdf.where(F.col("bucket").isin(batch))
+            if files_per_bucket is not None:
+                out = out.repartition(
+                    len(batch) * files_per_bucket,
+                    F.col("bucket"),
+                    F.pmod(
+                        F.xxhash64(F.col(self.key), F.lit(7)),
+                        F.lit(files_per_bucket),
+                    ),
+                )
+            writer = out.write.mode("overwrite")
+            if max_records_per_file is not None:
+                writer = writer.option(
+                    "maxRecordsPerFile", str(max_records_per_file)
+                )
+            writer.partitionBy("bucket").parquet(str(self.data_dir))
             scans += 1
             # lineage from what landed; every bucket in the batch gets a
             # record (rows=0 for buckets that produced no output files)

@@ -116,6 +116,48 @@ class TestCheckpointResume:
         assert stats2["input_scans"] == 0
 
 
+class TestSmallFilesControl:
+    def test_files_per_bucket_bounds_file_count(self, spark, tmp_path):
+        """files_per_bucket=1 must land each bucket in exactly one parquet
+        file (default layout: every upstream task writes into every bucket
+        it holds rows for — the 100 TB small-files problem), with rows
+        identical to the default layout."""
+        rows = spark.createDataFrame(
+            [(f"https://d{i}.example/x", i % 2 == 0) for i in range(400)],
+            "url: string, keep: boolean",
+        ).repartition(8)
+        w_def = CheckpointedWriter(str(tmp_path / "default"), n_buckets=4)
+        w_def.run(rows)
+        w_one = CheckpointedWriter(str(tmp_path / "onefile"), n_buckets=4)
+        w_one.run(rows, files_per_bucket=1)
+
+        def files_per_bucket(writer):
+            return {
+                d.name: len(list(d.glob("*.parquet")))
+                for d in writer.data_dir.glob("bucket=*")
+            }
+
+        fd, fo = files_per_bucket(w_def), files_per_bucket(w_one)
+        assert set(fd) == set(fo)  # same buckets materialized
+        assert all(n == 1 for n in fo.values()), fo
+        assert sum(fd.values()) > sum(fo.values())  # it actually helped
+        a = w_def.read(spark).orderBy("url").toPandas()
+        b = w_one.read(spark).orderBy("url").toPandas()
+        assert a.equals(b)  # layout-only change
+
+    def test_max_records_per_file_splits(self, spark, tmp_path):
+        w = CheckpointedWriter(str(tmp_path / "cap"), n_buckets=2)
+        rows = spark.createDataFrame(
+            [(f"https://e{i}.example/x", True) for i in range(300)],
+            "url: string, keep: boolean",
+        )
+        w.run(rows, files_per_bucket=1, max_records_per_file=50)
+        for d in w.data_dir.glob("bucket=*"):
+            n_files = len(list(d.glob("*.parquet")))
+            assert n_files >= 2  # ~150 rows per bucket / 50 cap
+        assert w.read(spark).count() == 300
+
+
 class TestWrittenStatsFailures:
     def test_transient_read_failure_propagates(self, spark, tmp_path):
         """ADVICE r2: _written_stats used to catch ALL read exceptions and
