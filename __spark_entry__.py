@@ -972,6 +972,36 @@ def _qf_decisions_arrow(spark, sf_dir):
     return QF.decisions(_pages(spark, sf_dir), use_arrow_udfs=True)
 
 
+def _dedup_exact_capped_docs(spark, sf_dir):
+    """The CAPPED (salted two-phase bounded top-k) exact-dedup path under
+    oracle check: dedup on an 8-char text prefix (collision-rich on this
+    corpus) with max_ids_per_group=2, so several groups exceed the cap and
+    the phase-1/phase-2 slice logic is what the hash compare exercises.
+    Full dup_count + the 2 smallest ids per group, like the SQL window."""
+    from mysql_data_quality_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 8).alias("text")
+    )
+    return dedup.exact_duplicate_groups(
+        docs, "doc_id", "text", max_ids_per_group=2
+    )
+
+
+def _dedup_exact_capped_docs_sql() -> str:
+    from mysql_data_quality_spark.operators.dedup import normalized_text_sql
+
+    norm = normalized_text_sql("substring(text, 1, 8)")
+    return f"""
+select md5({norm}) as text_md5,
+       count(*) as dup_count,
+       (list_sort(list(doc_id)))[1:2] as doc_ids
+from documents
+group by 1
+having count(*) > 1
+"""
+
+
 def _qf_dedup_pipeline(spark, sf_dir):
     """End-to-end corpus pipeline (cli.py filter --dedup): exact-dedup
     (keep smallest url per normalized-text group) then the full filter."""
@@ -1027,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_priority": _pivot_order_priority,
         # training-data operators
         "dedup_exact_docs": _dedup_exact_docs,
+        "dedup_exact_capped_docs": _dedup_exact_capped_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_pairs": _embedding_near_pairs,
@@ -1099,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
             "union all select s_nationkey as nationkey from supplier)"
         ),
         "dedup_exact_docs": _dedup_exact_docs_sql(),
+        "dedup_exact_capped_docs": _dedup_exact_capped_docs_sql(),
         "jaccard_pairs_docs": dedup.shingle_jaccard_pairs_sql(
             "documents", k=3, threshold=0.6
         ),

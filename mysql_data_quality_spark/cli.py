@@ -214,7 +214,11 @@ def cmd_filter(args) -> int:
         observed, obs = QF.observe_metrics(ann, rules=rules)
         dec = observed.select(*QF.DECISION_COLS)
         writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
-        stats = writer.run(dec, group_size=args.group_size)
+        stats = writer.run(
+            dec,
+            group_size=args.group_size,
+            files_per_bucket=args.files_per_bucket,
+        )
         if stats["input_scans"] > 0:  # observation fires with the write job
             res = QF.metrics_from_observation(obs.get, rules=rules)
             paths = write_unified_report(
@@ -276,6 +280,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="exact-dedup the corpus (keep smallest url per normalized "
         "text) before filtering",
+    )
+    f.add_argument(
+        "--files-per-bucket",
+        type=int,
+        default=None,
+        help="repartition before the write so each bucket lands in at "
+        "most this many parquet files (small-files control)",
     )
     f.set_defaults(fn=cmd_filter)
     return ap

@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--dedup", action="store_true",
                     help="exact-dedup (keep smallest url per normalized "
                     "text) before filtering")
+    ap.add_argument("--files-per-bucket", type=int, default=None,
+                    help="repartition before the write so each bucket "
+                    "lands in at most this many files")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -80,7 +83,11 @@ def main() -> None:
                 f"{args.output} has prior lineage; pass --resume to continue "
                 "or point at a fresh directory"
             )
-        stats = writer.run(decisions, group_size=args.group_size)
+        stats = writer.run(
+            decisions,
+            group_size=args.group_size,
+            files_per_bucket=args.files_per_bucket,
+        )
 
         out = {
             "buckets_written": stats["written"],
