@@ -696,26 +696,58 @@ def dedup_exact_corpus(
     id_col: str,
     text_col: str,
     normalize: bool = True,
+    keep: str = "min_id",
 ) -> DataFrame:
-    """Keep ONE document (smallest id) per exact-duplicate text group —
-    the dedup stage of the end-to-end corpus pipeline (``cli.py filter
-    --dedup``).
+    """Keep ONE document per exact-duplicate text group — the dedup stage
+    of the end-to-end corpus pipeline (``cli.py filter --dedup``).
 
-    Plan shape: the loser list is computed on the (id, md5) PROJECTION —
-    the corpus text never shuffles — then broadcast anti-joined out of
-    the corpus, same contract as :func:`deduplicated_corpus` (losers are
-    the duplicate tail, small relative to the corpus; at web scale dup
-    rates run 20-50%, so if the loser list outgrows broadcast, write it
-    to a table and use a shuffle anti join on the id column instead).
-    Mirrored in SQL by :func:`dedup_exact_corpus_sql`."""
+    ``keep`` picks the representative:
+
+      * ``"min_id"`` (default) — smallest id; cheapest (a plain ``min``
+        aggregate on the projection);
+      * ``"longest"`` — longest RAW text, id as tie-break: the usual
+        training-data policy (near-identical dups differ by truncation;
+        keep the fullest copy).  Implemented as a ``max_by``-style
+        aggregate over a (length, id-inverted) struct — still one
+        aggregation on the projection, no window over the corpus.
+
+    Plan shape: the winner list is computed on the (id, md5[, len])
+    PROJECTION — the corpus text never rides a shuffle — then the losers
+    are broadcast anti-joined out of the corpus, same contract as
+    :func:`deduplicated_corpus` (losers are the duplicate tail, small
+    relative to the corpus; at web scale dup rates run 20-50%, so if the
+    loser list outgrows broadcast, write it to a table and use a shuffle
+    anti join on the id column instead).  Mirrored in SQL by
+    :func:`dedup_exact_corpus_sql`."""
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
-    hashed = df.select(
-        F.col(id_col).alias("_id"), F.md5(norm).alias("_h")
-    )
-    mins = hashed.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    if keep == "min_id":
+        hashed = df.select(
+            F.col(id_col).alias("_id"), F.md5(norm).alias("_h")
+        )
+        winners = hashed.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(norm).alias("_h"),
+            F.length(F.coalesce(t, F.lit(""))).alias("_len"),
+        )
+        # longest text wins; ties -> smallest id.  max of (len, neg-id
+        # ordering) via a struct: max over (_len, _id DESC)? struct max
+        # orders lexicographically ASC per field, so invert the id by
+        # taking min over (-_len, _id).
+        winners = (
+            hashed.groupBy("_h")
+            .agg(
+                F.min(F.struct((-F.col("_len")).alias("_nl"), F.col("_id")))
+                .alias("_w")
+            )
+            .select("_h", F.col("_w._id").alias("_keep"))
+        )
     losers = (
-        hashed.join(mins, on="_h")
+        hashed.join(winners, on="_h")
         .where(F.col("_id") != F.col("_keep"))
         .select(F.col("_id").alias(id_col))
     )
@@ -723,16 +755,21 @@ def dedup_exact_corpus(
 
 
 def dedup_exact_corpus_sql(
-    rel: str, id_col: str = "url", text_col: str = "text"
+    rel: str, id_col: str = "url", text_col: str = "text", keep: str = "min_id"
 ) -> str:
     """DuckDB oracle for :func:`dedup_exact_corpus`: same md5-of-normalized
-    -text grouping, keep the minimum id per group."""
+    -text grouping, representative per ``keep`` policy."""
+    order = (
+        f"order by {id_col}"
+        if keep == "min_id"
+        else f"order by length(coalesce({text_col}, '')) desc, {id_col}"
+    )
     return f"""
 select {rel}.* from {rel}
 join (
   select {id_col}, row_number() over (
            partition by md5({normalized_text_sql(text_col)})
-           order by {id_col}
+           {order}
          ) as _rn
   from {rel}
 ) k using ({id_col})

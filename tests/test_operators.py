@@ -723,6 +723,48 @@ class TestDeduplicatedCorpus:
         # cluster {1,2,3,6} keeps 1; singletons 4, 5 survive
         assert kept == [1, 4, 5]
 
+    def test_dedup_exact_corpus_keep_policies(self, spark, duck):
+        """keep='min_id' vs keep='longest' (the training-data policy:
+        truncated re-crawls lose to the fullest copy), both matching
+        their SQL oracle.  Normalization makes case/ws variants one
+        group; 'longest' compares the RAW text length."""
+        import pandas as pd
+
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, "ALPHA   beta gamma      "),  # normalized dup of 1, longer raw
+            (3, "alpha beta gamma"),  # exact dup of 1
+            (4, "unique document"),
+            (5, None),
+            (6, ""),  # None and "" normalize equal -> one group
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        duck.register(
+            "corpus_t",
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+        )
+        # group {1,2,3}: min_id keeps 1, longest keeps 2 (24 raw chars);
+        # group {5 (None), 6 ("")}: lengths tie at 0 -> id tie-break, 5
+        for keep, want in (("min_id", [1, 4, 5]), ("longest", [2, 4, 5])):
+            got = sorted(
+                r["doc_id"]
+                for r in dedup.dedup_exact_corpus(
+                    df, "doc_id", "text", keep=keep
+                ).collect()
+            )
+            assert got == want, keep
+            oracle = sorted(
+                r[0]
+                for r in duck.sql(
+                    dedup.dedup_exact_corpus_sql(
+                        "corpus_t", "doc_id", "text", keep=keep
+                    )
+                ).fetchall()
+            )
+            assert oracle == want, keep
+        with pytest.raises(ValueError, match="keep"):
+            dedup.dedup_exact_corpus(df, "doc_id", "text", keep="nope")
+
 
 class TestWinnowing:
     def test_matches_python_reference(self, spark):
