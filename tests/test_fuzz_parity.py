@@ -152,3 +152,55 @@ def test_fuzz_canonical_url_matches_oracle(spark):
         f"spark={got['c'].values[mism.argmax()]!r} "
         f"oracle={oracle['c'].values[mism.argmax()]!r}"
     )
+
+
+def test_fuzz_dedup_exact_corpus_matches_oracle(spark):
+    """Corpus dedup (both keep policies) on adversarial text — duplicate
+    injections, unicode, pathological whitespace, None/empty — must keep
+    exactly the ids the DuckDB window oracle keeps."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mysql_data_quality_spark.operators import dedup
+
+    rng = random.Random(4242)
+    base = _gen_texts(120)
+    rows: list[tuple[int, str | None]] = []
+    i = 0
+    for t in base:
+        rows.append((i, t)); i += 1
+        r = rng.random()
+        if r < 0.25:  # exact dup
+            rows.append((i, t)); i += 1
+        elif r < 0.40:  # normalization dup (case + whitespace dressing)
+            rows.append((i, "  " + (t or "").upper() + "\t")); i += 1
+        elif r < 0.50:  # truncation dup family (distinct normalized text,
+            rows.append((i, (t or "")[: len(t or "") // 2])); i += 1
+        if rng.random() < 0.05:
+            rows.append((i, None)); i += 1
+        if rng.random() < 0.05:
+            rows.append((i, "")); i += 1
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    con = duckdb.connect()
+    con.register(
+        "corpus_t", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    for keep in ("min_id", "longest"):
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_exact_corpus(
+                df, "doc_id", "text", keep=keep
+            ).select("doc_id").collect()
+        )
+        want = sorted(
+            r[0]
+            for r in con.sql(
+                "select doc_id from ("
+                + dedup.dedup_exact_corpus_sql(
+                    "corpus_t", "doc_id", "text", keep=keep
+                )
+                + ")"
+            ).fetchall()
+        )
+        assert got == want, f"{keep}: {len(got)} vs {len(want)}"
