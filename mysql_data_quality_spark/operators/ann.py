@@ -349,6 +349,10 @@ def ivf_cosine_topk(
         .collect()
     )
     sample = np.array([r["c_vec"] for r in sample_rows], dtype=np.float64)
+    if len(sample) == 0:  # empty corpus: empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id: long, vec_id: long, rank: int, cosine: double"
+        )
     n_centroids = min(n_centroids, max(1, len(sample)))
     centroids = _train_centroids_deterministic(sample, n_centroids)
     assign1 = _centroid_assign_udf(centroids, 1)

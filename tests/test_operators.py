@@ -255,6 +255,19 @@ class TestAnn:
         )
         assert (merged["cosine_a"] == merged["cosine_e"]).all()
 
+    def test_ivf_empty_corpus(self, spark):
+        """Empty corpus: empty result with a stable schema (the numpy
+        training path must not be reached)."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = ann.ivf_cosine_topk(
+            emb.where(F.lit(False)), q, dim=64, k=3, n_centroids=4, n_probe=2
+        )
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "vec_id", "rank", "cosine",
+        ]
+
     def test_ivf_partition_invariant(self, spark):
         """Deterministic training sample (smallest xxhash64(id)), seedless
         Lloyd init, and einsum assignment: the IVF result must be
