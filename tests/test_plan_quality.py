@@ -107,6 +107,30 @@ class TestPlanQuality:
         for b in shuffle_blocks:
             assert "array<" not in b, f"vector rides a shuffle:\n{b}"
 
+    def test_dedup_corpus_text_never_shuffles(self, spark):
+        """dedup_exact_corpus computes winners on the (id, md5) projection
+        and broadcast-anti-joins losers out — the corpus text column must
+        not appear in any shuffle Exchange of the plan, for either keep
+        policy."""
+        import re
+
+        from mysql_data_quality_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        for keep in ("min_id", "longest"):
+            plan = _plan(
+                dedup.dedup_exact_corpus(docs, "doc_id", "text", keep=keep)
+            )
+            blocks = re.split(r"\n\n", plan)
+            shuffles = [
+                b for b in blocks if re.match(r"\(\d+\) Exchange", b.strip())
+            ]
+            assert shuffles, "expected shuffle Exchanges (winner agg)"
+            for b in shuffles:
+                assert not re.search(r"\btext#", b), (
+                    f"corpus text rides a shuffle ({keep}):\n{b}"
+                )
+
     def test_q1_reads_only_needed_columns(self, spark):
         plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
         import re
