@@ -96,6 +96,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # NB: best-of-2 is ONLY valid for the zero-shuffle flagship paths —
+    # re-running a shuffle-heavy plan in the same session reuses shuffle
+    # files (stage skipping), so a second timing measures warm re-reads,
+    # not the operator (measured: minhash_lsh 10.2s -> 1.3s "best-of-2").
+
     # codegen/JIT warm-up on a tiny identical plan so the flagship timing
     # measures the engine, not first-compile (a 100 TB job amortizes
     # compilation to zero); take best-of-2 to damp host-throttle noise

@@ -697,9 +697,16 @@ def dedup_exact_corpus(
     text_col: str,
     normalize: bool = True,
     keep: str = "min_id",
+    broadcast_losers: bool = True,
 ) -> DataFrame:
     """Keep ONE document per exact-duplicate text group — the dedup stage
     of the end-to-end corpus pipeline (``cli.py filter --dedup``).
+
+    ``broadcast_losers=False`` switches the final anti join from a
+    broadcast build of the loser list to a plain shuffle anti join on the
+    id column — use it when the duplicate tail is too large to broadcast
+    (web-crawl dup rates of 20-50% of 10^12 rows); rows and plan
+    semantics are otherwise identical.
 
     ``keep`` picks the representative:
 
@@ -751,7 +758,9 @@ def dedup_exact_corpus(
         .where(F.col("_id") != F.col("_keep"))
         .select(F.col("_id").alias(id_col))
     )
-    return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def dedup_exact_corpus_sql(

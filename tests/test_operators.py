@@ -777,6 +777,14 @@ class TestDeduplicatedCorpus:
             assert oracle == want, keep
         with pytest.raises(ValueError, match="keep"):
             dedup.dedup_exact_corpus(df, "doc_id", "text", keep="nope")
+        # shuffle-anti variant (dup tail too big to broadcast): same rows
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_exact_corpus(
+                df, "doc_id", "text", broadcast_losers=False
+            ).collect()
+        )
+        assert got == [1, 4, 5]
 
 
 class TestWinnowing:
