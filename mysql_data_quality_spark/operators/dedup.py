@@ -786,6 +786,74 @@ where k._rn = 1
 """
 
 
+def dedup_against_history(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_dir: str,
+    normalize: bool = True,
+    update_history: bool = True,
+) -> DataFrame:
+    """Incremental cross-RUN exact dedup: drop documents whose
+    (normalized) text hash was seen in any PREVIOUS batch run, keep one
+    per group within this batch, and (optionally) append this batch's
+    new hashes to the history — the batch complement of the streaming
+    first-seen operator (``streaming/stateful.py``) for
+    crawl-snapshot-at-a-time pipelines.
+
+    History is a plain parquet table of ``text_md5`` (32-char strings):
+    at 10^12 documents that is ~40 TB-scale-friendly — hashes only,
+    never text — and the probe is a shuffle anti join on the md5 (the
+    history is NOT broadcast: it grows without bound across runs).
+    Within-batch dedup reuses :func:`dedup_exact_corpus` (keep smallest
+    id).
+
+    ``update_history=True`` appends the surviving hashes AFTER the
+    caller materializes the returned frame — here, eagerly, because the
+    append must not re-run the upstream plan nondeterministically; the
+    returned frame is the materialization-safe localCheckpoint.
+    Idempotence note: a crash between emit and append means the next
+    run re-emits that batch (at-least-once history, like any
+    bookkeeping-after-data design); duplicate hash rows in history are
+    harmless (anti join semantics) and can be compacted with a
+    ``distinct()`` rewrite at leisure.
+
+    Composing with a RESUMABLE sink (``CheckpointedWriter``): call with
+    ``update_history=False`` (pure probe), write the returned frame
+    through the checkpointed writer, and append
+    ``result.withColumn("text_md5", md5(norm)).select("text_md5")`` to
+    the history only after the write's lineage commits — otherwise a
+    crash between the eager history append and your write would drop
+    that batch as "seen" on retry.
+    """
+    spark = df.sparkSession
+    t = F.col(text_col)
+    norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
+    batch_dedup = dedup_exact_corpus(df, id_col, text_col, normalize=normalize)
+    hashed = batch_dedup.withColumn("text_md5", F.md5(norm))
+    from pyspark.errors import AnalysisException
+
+    try:
+        hist = spark.read.parquet(history_dir).select("text_md5")
+        have_history = True
+    except AnalysisException as e:
+        # ONLY a missing history dir means bootstrap; any other read
+        # failure must propagate — silently treating a transient error
+        # as "first run" would re-emit the whole batch as fresh (same
+        # failure class as the r2 checkpoint-stats bug)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        have_history = False
+    if have_history:
+        fresh = hashed.join(hist, on="text_md5", how="left_anti")
+    else:
+        fresh = hashed
+    fresh = fresh.localCheckpoint()  # pin rows before the history append
+    if update_history:
+        fresh.select("text_md5").write.mode("append").parquet(history_dir)
+    return fresh.drop("text_md5")
+
+
 def deduplicated_corpus(
     df: DataFrame,
     pairs: DataFrame,

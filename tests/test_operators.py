@@ -787,6 +787,67 @@ class TestDeduplicatedCorpus:
         assert got == [1, 4, 5]
 
 
+class TestHistoryDedup:
+    def test_cross_run_dedup(self, spark, tmp_path):
+        """Three snapshot runs against one hash history: within-batch dups
+        collapse, cross-run repeats drop, first run bootstraps an empty
+        history, and re-running an identical snapshot emits nothing."""
+        hist = str(tmp_path / "hist")
+
+        def run(rows):
+            df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+            return sorted(
+                r["doc_id"]
+                for r in dedup.dedup_against_history(
+                    df, "doc_id", "text", hist
+                ).collect()
+            )
+
+        # run 1: bootstrap; 1&2 are within-batch dups (case/ws normalize)
+        assert run([(1, "alpha beta"), (2, " ALPHA  beta "), (3, "other")]) \
+            == [1, 3]
+        # run 2: 10 repeats run-1 text (drops), 11 is new
+        assert run([(10, "alpha beta"), (11, "fresh text")]) == [11]
+        # run 3: identical to run 2 -> nothing survives
+        assert run([(10, "alpha beta"), (11, "fresh text")]) == []
+        # history holds exactly the 3 distinct hashes
+        assert spark.read.parquet(hist).distinct().count() == 3
+
+    def test_corrupted_history_propagates(self, spark, tmp_path):
+        """A history dir that exists but cannot be read must RAISE, not
+        silently bootstrap (which would re-emit the whole batch as
+        fresh) — same failure class as the r2 checkpoint-stats bug."""
+        import pathlib
+
+        hist = tmp_path / "badhist"
+        hist.mkdir()
+        (hist / "part-0000.parquet").write_bytes(b"not a parquet file")
+        df = spark.createDataFrame(
+            [(1, "text one")], "doc_id: bigint, text: string"
+        )
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            dedup.dedup_against_history(
+                df, "doc_id", "text", str(hist)
+            ).collect()
+
+    def test_update_history_false_is_read_only(self, spark, tmp_path):
+        hist = str(tmp_path / "hist2")
+        df = spark.createDataFrame(
+            [(1, "doc one"), (2, "doc two")], "doc_id: bigint, text: string"
+        )
+        out = dedup.dedup_against_history(
+            df, "doc_id", "text", hist, update_history=False
+        )
+        assert out.count() == 2
+        import os
+
+        assert not os.path.exists(hist)  # probe never wrote
+        # same frame again still passes (no history was recorded)
+        assert dedup.dedup_against_history(
+            df, "doc_id", "text", hist, update_history=False
+        ).count() == 2
+
+
 class TestWinnowing:
     def test_matches_python_reference(self, spark):
         """Winnowing spec test: compute the gram hashes WITH Spark (same
