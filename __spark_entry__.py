@@ -983,8 +983,17 @@ def _dedup_exact_capped_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 8).alias("text")
     )
-    return dedup.exact_duplicate_groups(
+    g = dedup.exact_duplicate_groups(
         docs, "doc_id", "text", max_ids_per_group=2
+    )
+    # comma-join doc_ids: the harness hash-compare cannot canonicalize
+    # list-typed cells (r3 gate crash), same representation as dedup_exact_docs
+    return g.select(
+        "text_md5",
+        "dup_count",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
     )
 
 
@@ -995,7 +1004,7 @@ def _dedup_exact_capped_docs_sql() -> str:
     return f"""
 select md5({norm}) as text_md5,
        count(*) as dup_count,
-       (list_sort(list(doc_id)))[1:2] as doc_ids
+       array_to_string((list_sort(list(doc_id)))[1:2], ',') as doc_ids
 from documents
 group by 1
 having count(*) > 1
