@@ -49,11 +49,18 @@ class _Session:
         return False
 
 
+# reference validate's report format names (cli.py:192-196) mapped to the
+# unified-report writer keys ("summary" is the reference name for the text
+# report; generate_report there writes .txt too)
+_VALIDATE_FORMATS = {"html": "html", "json": "json", "summary": "txt"}
+
+
 def cmd_validate(args) -> int:
     from mysql_data_quality_spark.core.orchestrator import (
         Orchestrator,
         default_engine,
     )
+    from mysql_data_quality_spark.reports import write_unified_report
     from mysql_data_quality_spark.reports.summary import top_issues
 
     with _Session(args.cores) as spark:
@@ -71,6 +78,21 @@ def cmd_validate(args) -> int:
         for r in top_issues(analysis["results"]):
             col = f"[{r.column_name}] " if r.column_name else ""
             print(f"  {r.severity.value:8s} {col}{r.rule_name}: {r.message}")
+        # reference always writes at least a summary report (cli.py:290-299:
+        # formats_to_generate = report_format or ["summary"])
+        formats = [
+            _VALIDATE_FORMATS[f]
+            for f in (args.report_format or ["summary"])
+        ]
+        paths = write_unified_report(
+            analysis["results"],
+            name,
+            args.output_dir,
+            metadata=analysis["metadata"],
+            formats=formats,
+        )
+        for fmt, path in paths.items():
+            print(f"  report[{fmt}]: {path}")
         return 0 if s["failed_checks"] == 0 else 1
 
 
@@ -229,6 +251,49 @@ def cmd_filter(args) -> int:
         return 0
 
 
+def cmd_stream_filter(args) -> int:
+    """Run the quality filter as an ``availableNow`` Structured-Streaming
+    job over a directory of page-parquet drops: processes everything
+    currently present, commits the streaming checkpoint, and exits.
+    Re-running after new files land processes ONLY the new files (the
+    file-source checkpoint is the resume point), so a cron/Airflow loop of
+    this command is an incremental crawl-ingest pipeline.
+
+    ``--dedup`` inserts the stateful first-seen-url stage (``--state
+    bloom`` for constant-size state on unbounded crawls) before the rule
+    plan — the streaming analogue of ``filter --dedup``."""
+    from mysql_data_quality_spark.streaming.incremental import (
+        start_filter_stream,
+    )
+
+    with _Session(args.cores) as spark:
+        q = start_filter_stream(
+            spark,
+            args.input_dir,
+            args.output,
+            args.checkpoint,
+            dedup=args.dedup,
+            dedup_state=args.state,
+            n_state_buckets=args.state_buckets,
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+        n_rows = sum(p["numInputRows"] for p in progress)
+        print(
+            json.dumps(
+                {
+                    "batches": sum(
+                        1 for p in progress if p["numInputRows"] > 0
+                    ),
+                    "input_rows": n_rows,
+                    "output": args.output,
+                    "checkpoint": args.checkpoint,
+                }
+            )
+        )
+        return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mysql_data_quality_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -237,7 +302,22 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="run validators on a table")
     v.add_argument("table")
     v.add_argument("--validators", nargs="*", default=None)
-    v.add_argument("--sample-size", type=int, default=10000)
+    v.add_argument("--sample-size", "-s", type=int, default=10000)
+    v.add_argument(
+        "--report-format",
+        "-r",
+        action="append",
+        choices=sorted(_VALIDATE_FORMATS),
+        default=None,
+        help="report format(s) to write (repeatable); at least a summary "
+        "report is always written (reference cli.py:290-299)",
+    )
+    v.add_argument(
+        "--output-dir",
+        "-o",
+        default="logs",
+        help="report output directory (reference default: logs)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     a = sub.add_parser("analyze", help="full analysis + reports")
@@ -289,6 +369,23 @@ def build_parser() -> argparse.ArgumentParser:
         "most this many parquet files (small-files control)",
     )
     f.set_defaults(fn=cmd_filter)
+
+    s = sub.add_parser(
+        "stream-filter",
+        help="incremental (availableNow) streaming quality filter",
+    )
+    s.add_argument("--input-dir", required=True,
+                   help="directory receiving page parquet drops")
+    s.add_argument("--output", required=True,
+                   help="decisions sink (parquet, partitioned by batch_id)")
+    s.add_argument("--checkpoint", required=True,
+                   help="streaming checkpoint dir (the resume point)")
+    s.add_argument("--dedup", action="store_true",
+                   help="stateful first-seen-url dedup before the filter")
+    s.add_argument("--state", choices=["exact", "bloom"], default="exact",
+                   help="dedup state backend (bloom = constant-size)")
+    s.add_argument("--state-buckets", type=int, default=16)
+    s.set_defaults(fn=cmd_stream_filter)
     return ap
 
 

@@ -48,8 +48,16 @@ def main() -> None:
     ap.add_argument("--files-per-bucket", type=int, default=None,
                     help="repartition before the write so each bucket "
                     "lands in at most this many files")
+    ap.add_argument("--stream", action="store_true",
+                    help="run incrementally via Structured Streaming "
+                    "(availableNow): --input is a drop directory, only "
+                    "files newer than the --checkpoint are processed")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (required with --stream)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+    if args.stream and not (args.input and args.checkpoint):
+        ap.error("--stream requires --input and --checkpoint")
 
     from mysql_data_quality_spark.core.session import get_spark
     from mysql_data_quality_spark.pipeline import pages as P
@@ -59,6 +67,26 @@ def main() -> None:
 
     spark = get_spark(app_name="quality-filter", cores=args.cores)
     try:
+        if args.stream:
+            # incremental deployment shape: same rule plan, file-source
+            # checkpoint as the resume point (streaming/incremental.py)
+            from mysql_data_quality_spark.streaming.incremental import (
+                start_filter_stream,
+            )
+
+            q = start_filter_stream(
+                spark, args.input, args.output, args.checkpoint,
+                dedup=args.dedup,
+            )
+            q.awaitTermination()
+            progress = q.recentProgress
+            print(json.dumps({
+                "input_rows": sum(p["numInputRows"] for p in progress),
+                "batches": sum(
+                    1 for p in progress if p["numInputRows"] > 0
+                ),
+            }))
+            return
         if args.input:
             pages = spark.read.parquet(args.input)
         else:

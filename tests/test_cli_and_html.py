@@ -55,17 +55,44 @@ class TestCli:
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--output", "/o"])  # missing source
 
-    def test_validate_command(self, spark, capsys):
+    def test_validate_command(self, spark, tmp_path, capsys):
         # reuses the session via getOrCreate inside the command
         from mysql_data_quality_spark import cli
 
         rc = cli.main(
             ["validate", f"{SF_CORRECT}/region.parquet",
-             "--validators", "completeness"]
+             "--validators", "completeness", "-o", str(tmp_path)]
         )
         out = capsys.readouterr().out
         assert "region:" in out and "checks passed" in out
         assert rc == 0
+        # reference validate always writes at least a summary report
+        # (cli.py:290-299) — default format is summary → one .txt file
+        txts = list(tmp_path.glob("*.txt"))
+        assert len(txts) == 1 and "report[txt]" in out
+        assert not list(tmp_path.glob("*.html"))
+
+    def test_validate_command_report_formats(self, spark, tmp_path, capsys):
+        # reference -r html -r json (cli.py:192-196,300-326): exactly the
+        # requested formats are written to --output-dir
+        from mysql_data_quality_spark import cli
+
+        rc = cli.main(
+            ["validate", f"{SF_CORRECT}/region.parquet",
+             "--validators", "completeness",
+             "-r", "html", "-r", "json", "-o", str(tmp_path)]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        html = list(tmp_path.glob("*.html"))
+        js = list(tmp_path.glob("*.json"))
+        assert len(html) == 1 and len(js) == 1
+        assert not list(tmp_path.glob("*.txt"))
+        assert "report[html]" in out and "report[json]" in out
+        # report carries the run metadata like the reference's
+        payload = json.loads(js[0].read_text())
+        assert payload["metadata"]["total_rows"] == 5
+        assert payload["table_name"] == "region"
 
     def test_analyze_command(self, spark, tmp_path, capsys):
         from mysql_data_quality_spark import cli
@@ -279,3 +306,96 @@ class TestCliFilter:
         )
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and stats["written"] == 0 and stats["skipped"] == 4
+
+
+class TestCliStreamFilter:
+    def test_stream_filter_e2e_incremental(
+        self, spark, tmp_path, capsys
+    ):
+        """stream-filter CLI: first run processes the initial drop; a
+        second drop + rerun processes ONLY the new files (checkpoint
+        resume); a rerun with nothing new writes zero rows."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+        from tests.conftest import SF_SMOKE
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = tmp_path / "in"
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        in_dir.mkdir()
+        first100 = pages.orderBy("url").limit(100)
+        first100.write.parquet(str(in_dir / "drop1"))
+        # the file source globs the dir tree; drop subdirs keep each
+        # delivery's files distinct
+        args = ["stream-filter", "--input-dir", f"{in_dir}/*",
+                "--output", out_dir, "--checkpoint", ckpt]
+        rc = cli.main(args)
+        assert rc == 0
+        stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats1["input_rows"] == 100
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 == 100
+
+        # second drop: only the new 60 rows are processed on restart
+        pages.orderBy("url").limit(160).subtract(first100).write.parquet(
+            str(in_dir / "drop2")
+        )
+        rc = cli.main(args)
+        assert rc == 0
+        stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats2["input_rows"] == 60
+        assert spark.read.parquet(out_dir).count() == 160
+
+        # nothing new -> no reprocess
+        rc = cli.main(args)
+        assert rc == 0
+        stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats3["input_rows"] == 0 and stats3["batches"] == 0
+        assert spark.read.parquet(out_dir).count() == 160
+
+        # streamed decisions == batch decisions for the same rows
+        streamed = (
+            spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .orderBy("url")
+            .toPandas()
+        )
+        batch = (
+            QF.decisions(pages.orderBy("url").limit(160))
+            .orderBy("url")
+            .toPandas()
+        )
+        for c in batch.columns:
+            assert (streamed[c].values == batch[c].values).all(), c
+
+    def test_stream_filter_dedup_bloom(self, spark, tmp_path, capsys):
+        """--dedup --state bloom: re-crawled urls in a later drop never
+        re-emit decisions."""
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = tmp_path / "in"
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        in_dir.mkdir()
+        first = pages.limit(80)
+        first.write.parquet(str(in_dir / "drop1"))
+        args = ["stream-filter", "--input-dir", f"{in_dir}/*",
+                "--output", out_dir, "--checkpoint", ckpt,
+                "--dedup", "--state", "bloom"]
+        assert cli.main(args) == 0
+        capsys.readouterr()
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 == 80
+        # re-drop the same 80 urls: all are dropped by first-seen state
+        first.write.parquet(str(in_dir / "drop2"))
+        assert cli.main(args) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["input_rows"] == 80  # read, but deduped before write
+        assert spark.read.parquet(out_dir).count() == n1
