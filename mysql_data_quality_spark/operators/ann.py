@@ -309,6 +309,40 @@ def _centroid_assign_udf(centroids: "np.ndarray", n_probe: int):
     return assign
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer once and return the centroid matrix
+    (``n_centroids × dim`` float64) so repeated :func:`ivf_cosine_topk`
+    query batches skip the sample + train collect — the documented
+    "train once and persist" 10^12-row deployment: persist the returned
+    array (``np.save``) and pass it back via ``centroids=``.
+
+    The sample is the ``train_sample`` corpus vectors with the smallest
+    ``xxhash64(id)`` — uniform, seed-free, partitioning-independent —
+    so training is deterministic for a given corpus.  Returns an empty
+    ``(0, 0)`` array for an empty corpus."""
+    sample_rows = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(train_sample)
+        .select("c_vec")
+        .collect()
+    )
+    sample = np.array([r["c_vec"] for r in sample_rows], dtype=np.float64)
+    if len(sample) == 0:
+        return np.zeros((0, 0))
+    return _train_centroids_deterministic(
+        sample, min(n_centroids, max(1, len(sample)))
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,6 +354,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: the classic
     coarse-quantizer ANN path (complement to :func:`lsh_cosine_topk`).
@@ -338,23 +373,36 @@ def ivf_cosine_topk(
        by id for the exact cosine re-rank, so reported cosines are
        bit-identical to brute force (only WHICH candidates are seen is
        approximate).  Expected candidate fraction ≈ n_probe/n_centroids.
+
+    ``centroids`` (from :func:`train_ivf_centroids`) skips step 1 —
+    pass a persisted matrix so repeated query batches pay zero training
+    collects.
     """
+    from pyspark.sql import types as T
+
     ids = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
     )
-    sample_rows = (
-        ids.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(train_sample)
-        .select("c_vec")
-        .collect()
-    )
-    sample = np.array([r["c_vec"] for r in sample_rows], dtype=np.float64)
-    if len(sample) == 0:  # empty corpus: empty result, stable schema
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id: long, vec_id: long, rank: int, cosine: double"
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, train_sample, id_col, vec_col
         )
-    n_centroids = min(n_centroids, max(1, len(sample)))
-    centroids = _train_centroids_deterministic(sample, n_centroids)
+    if centroids.size == 0:  # empty corpus: empty result, stable schema
+        # id column types are caller-defined (urls are strings) — derive
+        # them from the input schemas so the empty and non-empty paths
+        # agree (r3 ADVICE)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType
+                ),
+                T.StructField("vec_id", corpus.schema[id_col].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
+    n_centroids = len(centroids)
     assign1 = _centroid_assign_udf(centroids, 1)
     assignp = _centroid_assign_udf(centroids, min(n_probe, n_centroids))
     c = ids.select(

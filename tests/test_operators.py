@@ -268,6 +268,62 @@ class TestAnn:
             "query_id", "vec_id", "rank", "cosine",
         ]
 
+    def test_ivf_empty_corpus_string_ids(self, spark):
+        """r3 ADVICE: the empty path's id column types must be derived
+        from the input schemas, not hardcoded long — string ids (urls)
+        must round-trip."""
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        s = emb.select(
+            F.concat(F.lit("url-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+        q = s.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = ann.ivf_cosine_topk(
+            s.where(F.lit(False)), q, dim=64, k=3, n_centroids=4, n_probe=2
+        )
+        assert out.count() == 0
+        got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert got["query_id"] == "string" and got["vec_id"] == "string"
+        # unions with the non-empty path's schema must succeed
+        nonempty = ann.ivf_cosine_topk(
+            s, q, dim=64, k=3, n_centroids=4, n_probe=2
+        )
+        assert out.unionByName(nonempty).count() == nonempty.count()
+
+    def test_ivf_centroid_reuse(self, spark):
+        """train_ivf_centroids once -> two ivf_cosine_topk calls with the
+        shared matrix return results identical to the self-training
+        path, with zero training collects in the query calls."""
+        from unittest import mock
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        q1 = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        q2 = emb.where(
+            (F.col("vec_id") >= 3) & (F.col("vec_id") < 6)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        cent = ann.train_ivf_centroids(emb, n_centroids=8)
+        baseline = (
+            ann.ivf_cosine_topk(emb, q1, dim=64, k=5, n_centroids=8,
+                                n_probe=3)
+            .orderBy("query_id", "rank").toPandas()
+        )
+        with mock.patch.object(
+            ann, "train_ivf_centroids",
+            side_effect=AssertionError("trained in query call"),
+        ):
+            shared1 = (
+                ann.ivf_cosine_topk(emb, q1, dim=64, k=5, n_probe=3,
+                                    centroids=cent)
+                .orderBy("query_id", "rank").toPandas()
+            )
+            shared2 = ann.ivf_cosine_topk(
+                emb, q2, dim=64, k=5, n_probe=3, centroids=cent
+            )
+            assert shared2.count() == 3 * 5
+        assert shared1.equals(baseline)
+
     def test_ivf_partition_invariant(self, spark):
         """Deterministic training sample (smallest xxhash64(id)), seedless
         Lloyd init, and einsum assignment: the IVF result must be
@@ -695,6 +751,11 @@ class TestClustersAndUrls:
             dedup.duplicate_clusters(
                 pairs, max_rounds=1, on_nonconverge="warn"
             ).collect()
+        # r3 ADVICE: max_rounds=0 used to skip the loop entirely and its
+        # -max_rounds sentinel read as converged -> must raise up front
+        for bad in (0, -3):
+            with pytest.raises(ValueError, match="max_rounds"):
+                dedup.duplicate_clusters(pairs, max_rounds=bad)
 
     def test_canonical_url(self, spark):
         from mysql_data_quality_spark.functions.urls import canonical_url_col
@@ -735,6 +796,28 @@ class TestDeduplicatedCorpus:
         )
         # cluster {1,2,3,6} keeps 1; singletons 4, 5 survive
         assert kept == [1, 4, 5]
+
+    def test_dedup_exact_corpus_duplicate_ids(self, spark):
+        """r3 ADVICE: with a non-unique id (dirty crawl: one url, two
+        different texts), losing one text's group must not drag the id's
+        OTHER row out of the corpus — the anti join keys on (id, hash)."""
+        rows = [
+            # url u1 carries two different texts; "alpha" loses to u0,
+            # "beta" is u1's own winning group
+            ("u0", "alpha"),
+            ("u1", "alpha"),
+            ("u1", "beta"),
+            ("u2", "gamma"),
+        ]
+        df = spark.createDataFrame(rows, "url: string, text: string")
+        for bl in (True, False):
+            got = sorted(
+                (r["url"], r["text"])
+                for r in dedup.dedup_exact_corpus(
+                    df, "url", "text", broadcast_losers=bl
+                ).collect()
+            )
+            assert got == [("u0", "alpha"), ("u1", "beta"), ("u2", "gamma")]
 
     def test_dedup_exact_corpus_keep_policies(self, spark, duck):
         """keep='min_id' vs keep='longest' (the training-data policy:
@@ -810,8 +893,16 @@ class TestHistoryDedup:
         assert run([(10, "alpha beta"), (11, "fresh text")]) == [11]
         # run 3: identical to run 2 -> nothing survives
         assert run([(10, "alpha beta"), (11, "fresh text")]) == []
-        # history holds exactly the 3 distinct hashes
-        assert spark.read.parquet(hist).distinct().count() == 3
+        # history holds exactly the 3 distinct hashes, one committed
+        # run= dir per appending run (run 3 emitted nothing but still
+        # commits its empty run)
+        hdf = spark.read.parquet(hist)
+        assert hdf.select("text_md5").distinct().count() == 3
+        import pathlib
+
+        runs = list(pathlib.Path(hist).glob("run=*"))
+        assert len(runs) == 3
+        assert not list(pathlib.Path(hist).glob("_tmp-*"))
 
     def test_corrupted_history_propagates(self, spark, tmp_path):
         """A history dir that exists but cannot be read must RAISE, not
@@ -829,6 +920,67 @@ class TestHistoryDedup:
             dedup.dedup_against_history(
                 df, "doc_id", "text", str(hist)
             ).collect()
+
+    def test_crashed_append_does_not_poison_history(self, spark, tmp_path):
+        """VERDICT r3 #2: a crash mid-append leaves only a hidden
+        ``_tmp-*`` staging dir.  The next run must (a) read committed
+        history fine, (b) re-emit the crashed run's rows (at-least-once),
+        and (c) bootstrap cleanly when NO run ever committed."""
+        import pathlib
+
+        hist = tmp_path / "hist"
+
+        def run(rows):
+            df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+            return sorted(
+                r["doc_id"]
+                for r in dedup.dedup_against_history(
+                    df, "doc_id", "text", str(hist)
+                ).collect()
+            )
+
+        # (c) crashed FIRST append: history dir holds only a partial
+        # hidden staging dir (even with a valid parquet file inside —
+        # hidden paths are invisible to readers)
+        stage = hist / "_tmp-deadbeef"
+        stage.mkdir(parents=True)
+        spark.createDataFrame(
+            [("0" * 32,)], "text_md5: string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        assert run([(1, "alpha"), (2, "beta")]) == [1, 2]  # clean bootstrap
+
+        # (a)+(b): now simulate a crash AFTER run 1 committed — drop a
+        # fresh staging dir holding run-2's would-be hashes
+        from pyspark.sql import functions as F
+
+        crash = hist / "_tmp-cafebabe"
+        spark.createDataFrame(
+            [("gamma",)], "text: string"
+        ).select(F.md5(F.col("text")).alias("text_md5")).write.parquet(
+            str(crash)
+        )
+        # gamma re-emits (its append never committed); alpha still drops
+        assert run([(3, "gamma"), (4, "alpha")]) == [3]
+        # staging dirs were never promoted; committed runs grew by the
+        # two successful appends
+        assert len(list(pathlib.Path(hist).glob("run=*"))) == 2
+        assert len(list(pathlib.Path(hist).glob("_tmp-*"))) == 2
+
+    def test_disk_pin_matches_default(self, spark, tmp_path):
+        """pin='disk' (persist DISK_ONLY escape hatch) gives identical
+        results and identical history commits."""
+        rows = [(1, "alpha"), (2, " ALPHA "), (3, "beta")]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        hist = str(tmp_path / "hist")
+        out = dedup.dedup_against_history(
+            df, "doc_id", "text", hist, pin="disk"
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+        assert spark.read.parquet(hist).count() == 2
+        with pytest.raises(ValueError, match="pin"):
+            dedup.dedup_against_history(
+                df, "doc_id", "text", hist, pin="memory"
+            )
 
     def test_update_history_false_is_read_only(self, spark, tmp_path):
         hist = str(tmp_path / "hist2")
