@@ -30,6 +30,18 @@ import time
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "120"))
 
 
+def _bench_round() -> int:
+    """Round index for the heavy-line rotation: the driver records one
+    BENCH_r{N}.json per round next to this file, so their count is a
+    deterministic proxy for N (override with $BENCH_ROUND)."""
+    if "BENCH_ROUND" in os.environ:
+        return int(os.environ["BENCH_ROUND"])
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+
+
 def _spark(cores: int):
     from mysql_data_quality_spark.core.session import get_spark
 
@@ -64,6 +76,48 @@ def bench_pages(spark, sf_dir: str, replicas: int = REPLICAS):
         .drop("rep")
     )
     return P.pages_from_documents(big)
+
+
+def bench_embeddings(spark, sf_dir: str, replicas: int = 10):
+    """Deterministic embedding-corpus expansion for the ANN benches: each
+    replica adds a small per-(replica, dim) sinusoidal perturbation so
+    vectors stay distinct (identical copies would make top-k a tie-fest)
+    while cosine structure is preserved.  All JVM-side expression work."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_parts = int(spark.sparkContext.defaultParallelism) * 2
+    rep = spark.range(0, replicas, 1, n_parts).withColumnRenamed("id", "rep")
+    return (
+        rep.crossJoin(F.broadcast(emb))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) ->"
+                " cast(x + 0.03d * sin(cast((rep + 1) * (i + 1) as double))"
+                " as float))"
+            ),
+        )
+        .drop("rep")
+    )
+
+
+def _topk_recall(approx_df, exact_df, k: int) -> float:
+    """Mean per-query |approx ∩ exact| / k over the exact result's
+    queries (both frames: query_id, vec_id, rank <= k)."""
+    exact: dict = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx: dict = {}
+    for r in approx_df.collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+    ]
+    return sum(recalls) / len(recalls)
 
 
 def _force(df) -> int:
@@ -155,33 +209,53 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "dedup_exact_salted",
         lambda: _force(dedup.exact_duplicate_groups(pages, "url", "text")),
     )
-    # near-dup benches run on the raw documents table: the replica-expanded
-    # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
-    # near-copies), which measures pair-list size, not the operator
-    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # composed dedup+filter — the shipped `cli filter --dedup` shape:
+    # exact-dedup winners on the (url, md5) projection, then the full
+    # rule plan over the surviving corpus (one extra id-shuffle + anti
+    # join vs the flagship)
     clock(
-        "minhash_lsh",
+        "qf_dedup_pipeline",
         lambda: _force(
-            dedup.minhash_lsh_pairs(
-                docs_raw, "doc_id", "text", k=3, num_hashes=32, bands=8
-            )
-        ),
-    )
-    clock(
-        "jaccard_pairs",
-        lambda: _force(
-            dedup.shingle_jaccard_pairs(
-                docs_raw, "doc_id", "text", k=3, threshold=0.6
-            )
+            QF.decisions(dedup.dedup_exact_corpus(pages, "url", "text"))
         ),
     )
 
-    clock(
-        "simhash_pairs",
-        lambda: _force(
-            dedup.simhash_near_pairs(docs_raw, "doc_id", "text", max_hamming=8)
+    # near-dup benches run on the raw documents table: the replica-expanded
+    # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
+    # near-copies), which measures pair-list size, not the operator.
+    # These heavy single-shot lines rotate their execution order by round
+    # (BENCH_r*.json count) so the host-throttle position within the bench
+    # session stops confounding round-over-round deltas (VERDICT r3 #5).
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    heavy = [
+        (
+            "minhash_lsh",
+            lambda: _force(
+                dedup.minhash_lsh_pairs(
+                    docs_raw, "doc_id", "text", k=3, num_hashes=32, bands=8
+                )
+            ),
         ),
-    )
+        (
+            "jaccard_pairs",
+            lambda: _force(
+                dedup.shingle_jaccard_pairs(
+                    docs_raw, "doc_id", "text", k=3, threshold=0.6
+                )
+            ),
+        ),
+        (
+            "simhash_pairs",
+            lambda: _force(
+                dedup.simhash_near_pairs(
+                    docs_raw, "doc_id", "text", max_hamming=8
+                )
+            ),
+        ),
+    ]
+    rot = _bench_round() % len(heavy)
+    for name, fn in heavy[rot:] + heavy[:rot]:
+        clock(name, fn)
 
     # duplicate clustering over an ADVERSARIAL chain component — diameter
     # == n is the worst case for propagation-style connected components
@@ -204,6 +278,53 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         "lsh_near_pairs",
         lambda: _force(ann.lsh_near_pairs(emb, dim=64, threshold=0.4)),
     )
+
+    # IVF vs hyperplane-LSH top-k on the expanded embedding corpus
+    # (replicas keep vectors distinct), recall measured against exact
+    # brute force on the SAME corpus/queries so the two approximate paths
+    # compare at their benched configs (VERDICT r3 #6)
+    big_emb = bench_embeddings(spark, sf_dir).cache()
+    big_emb.count()
+    big_q = big_emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_cent = ann.train_ivf_centroids(big_emb, n_centroids=64)
+    clock(
+        "ivf_cosine_topk",
+        lambda: _force(
+            ann.ivf_cosine_topk(
+                big_emb, big_q, dim=64, k=10, n_probe=8, centroids=ivf_cent
+            )
+        ),
+    )
+    clock(
+        "lsh_cosine_topk",
+        lambda: _force(
+            ann.lsh_cosine_topk(big_emb, big_q, dim=64, k=10, bits=8, tables=4)
+        ),
+    )
+    exact_topk = ann.cosine_topk(big_emb, big_q, k=10)
+    timings["ivf_topk_recall"] = round(
+        _topk_recall(
+            ann.ivf_cosine_topk(
+                big_emb, big_q, dim=64, k=10, n_probe=8, centroids=ivf_cent
+            ),
+            exact_topk,
+            10,
+        ),
+        3,
+    )
+    timings["lsh_topk_recall"] = round(
+        _topk_recall(
+            ann.lsh_cosine_topk(
+                big_emb, big_q, dim=64, k=10, bits=8, tables=4
+            ),
+            exact_topk,
+            10,
+        ),
+        3,
+    )
+    big_emb.unpersist()
 
     # relational headliners at the raw sf tables
     clock("q1", lambda: _force(entry._q1_pricing_summary(spark, sf_dir)))
