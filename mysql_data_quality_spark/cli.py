@@ -232,6 +232,20 @@ def cmd_filter(args) -> int:
             )
 
             pages = dedup_exact_corpus(pages, "url", "text")
+        hist_dir = getattr(args, "dedup_history", None)
+        if hist_dir:
+            # cross-RUN incremental dedup: probe the hash history now,
+            # commit this run's hashes only AFTER the checkpointed write
+            # finishes (crash before commit -> batch re-emits, write
+            # resume dedups it; crash after -> clean)
+            from mysql_data_quality_spark.operators.dedup import (
+                dedup_against_history,
+            )
+
+            pages = dedup_against_history(
+                pages, "url", "text", hist_dir,
+                update_history=False, keep_hash_col=True,
+            )
         ann = QF.annotate(pages, rules=rules)
         observed, obs = QF.observe_metrics(ann, rules=rules)
         dec = observed.select(*QF.DECISION_COLS)
@@ -247,6 +261,17 @@ def cmd_filter(args) -> int:
                 res, "pages", Path(args.output) / "metrics"
             )
             stats["metrics_reports"] = {k: str(v) for k, v in paths.items()}
+        if hist_dir:
+            # the write (or its verified resume) is complete: NOW record
+            # this batch's hashes (reads the pinned probe result, not the
+            # input); a rerun after a crash here re-commits — duplicate
+            # hash rows are harmless to the anti-join probe
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_history,
+            )
+
+            commit_history(pages, hist_dir)
+            stats["history_dir"] = hist_dir
         print(json.dumps(stats))
         return 0
 
@@ -367,6 +392,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="repartition before the write so each bucket lands in at "
         "most this many parquet files (small-files control)",
+    )
+    f.add_argument(
+        "--dedup-history",
+        default=None,
+        metavar="DIR",
+        help="cross-run incremental dedup: drop documents whose text "
+        "hash is in this history dir; commit this run's hashes after "
+        "the write completes",
     )
     f.set_defaults(fn=cmd_filter)
 

@@ -800,7 +800,9 @@ where k._rn = 1
 """
 
 
-def _commit_history_run(fresh: DataFrame, history_dir: str) -> None:
+def _commit_history_run(
+    fresh: DataFrame, history_dir: str, run_id: str | None = None
+) -> None:
     """Crash-atomic history append: write this run's hashes to a hidden
     ``_tmp-<id>`` staging dir (underscore-prefixed paths are invisible to
     Hadoop/Spark readers), then rename it to ``run=<id>`` in one
@@ -813,7 +815,7 @@ def _commit_history_run(fresh: DataFrame, history_dir: str) -> None:
     """
     import uuid
 
-    run_id = uuid.uuid4().hex[:16]
+    run_id = run_id or uuid.uuid4().hex[:16]
     spark = fresh.sparkSession
     staging = f"{history_dir}/_tmp-{run_id}"
     final = f"{history_dir}/run={run_id}"
@@ -837,6 +839,7 @@ def dedup_against_history(
     normalize: bool = True,
     update_history: bool = True,
     pin: str = "localCheckpoint",
+    keep_hash_col: bool = False,
 ) -> DataFrame:
     """Incremental cross-RUN exact dedup: drop documents whose
     (normalized) text hash was seen in any PREVIOUS batch run, keep one
@@ -874,12 +877,15 @@ def dedup_against_history(
     failing).
 
     Composing with a RESUMABLE sink (``CheckpointedWriter``): call with
-    ``update_history=False`` (pure probe), write the returned frame
-    through the checkpointed writer, and append
-    ``result.withColumn("text_md5", md5(norm)).select("text_md5")`` to
-    the history only after the write's lineage commits — otherwise a
-    crash between the eager history append and your write would drop
-    that batch as "seen" on retry.
+    ``update_history=False, keep_hash_col=True`` (pure probe, the
+    ``text_md5`` column stays on the pinned result), write the frame
+    (minus ``text_md5``) through the checkpointed writer, then commit
+    ``result.select("text_md5")`` via :func:`commit_history` only after
+    the write's lineage commits — otherwise a crash between the eager
+    history append and your write would drop that batch as "seen" on
+    retry.  Because the result is pinned, the post-commit append reads
+    the cached blocks, not the input again.  ``cli.py filter
+    --dedup-history`` is this composition.
     """
     spark = df.sparkSession
     t = F.col(text_col)
@@ -920,7 +926,50 @@ def dedup_against_history(
         fresh = fresh.localCheckpoint()
     if update_history:
         _commit_history_run(fresh, history_dir)
-    return fresh.drop("text_md5")
+    return fresh if keep_hash_col else fresh.drop("text_md5")
+
+
+def commit_history(fresh_hashes: DataFrame, history_dir: str) -> None:
+    """Public commit for the ``update_history=False`` composition: append
+    a batch's surviving ``text_md5`` column to the history as one
+    crash-atomic ``run=<id>`` directory (see :func:`_commit_history_run`).
+    Call this AFTER your sink's own commit point."""
+    _commit_history_run(fresh_hashes.select("text_md5"), history_dir)
+
+
+def compact_history(spark: SparkSession, history_dir: str) -> int:
+    """Compact a :func:`dedup_against_history` history: fold every
+    committed ``run=<id>`` directory into ONE distinct-hash run, then
+    drop the old runs.  Returns the distinct hash count.
+
+    Order of operations keeps every intermediate state safe: the
+    compacted run commits atomically FIRST (staging + rename, like any
+    append), old run dirs are deleted after — a crash mid-delete leaves
+    duplicate hashes across runs, which the anti-join probe treats
+    identically to the compacted state (duplicates are harmless), so the
+    compaction can simply be re-run.  Run this between ingest batches,
+    never concurrently with an appending job (two writers on one history
+    dir is the caller's lock to take).  At 10^12-document scale this is
+    the periodic maintenance job that keeps the history read from
+    touching thousands of tiny run dirs."""
+    import uuid
+
+    distinct = spark.read.parquet(history_dir).select("text_md5").distinct()
+    distinct = distinct.localCheckpoint()  # pin before deleting sources
+    n = distinct.count()
+    compact_id = f"compact-{uuid.uuid4().hex[:12]}"
+    _commit_history_run(distinct, history_dir, run_id=compact_id)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(hpath(history_dir)):
+        name = status.getPath().getName()
+        if (
+            name.startswith(("run=", "_tmp-"))
+            and name != f"run={compact_id}"
+        ):
+            fs.delete(status.getPath(), True)
+    return n
 
 
 def deduplicated_corpus(

@@ -399,3 +399,54 @@ class TestCliStreamFilter:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["input_rows"] == 80  # read, but deduped before write
         assert spark.read.parquet(out_dir).count() == n1
+
+
+class TestCliFilterHistory:
+    def test_filter_dedup_history_across_runs(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --dedup-history: run 2 drops texts already filtered in
+        run 1, and the history commit lands only after the write."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        pages = P.read_pages(spark, SF_SMOKE)
+        hist = str(tmp_path / "hist")
+
+        batch1 = pages.orderBy("url").limit(60)
+        in1 = str(tmp_path / "in1")
+        batch1.write.parquet(in1)
+        rc = cli.main(
+            ["filter", "--input", in1, "--output", str(tmp_path / "o1"),
+             "--buckets", "2", "--dedup-history", hist]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["history_dir"] == hist
+        n1 = spark.read.parquet(str(tmp_path / "o1") + "/data").count()
+        assert n1 == 60
+
+        # run 2: 30 urls re-serve batch-1 texts (url mangled so exact-url
+        # resume can't explain the drop), 20 docs are genuinely new
+        seen = batch1.limit(30).withColumn(
+            "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+        )
+        new = pages.orderBy("url").limit(80).subtract(
+            pages.orderBy("url").limit(60)
+        )
+        in2 = str(tmp_path / "in2")
+        seen.union(new).write.parquet(in2)
+        rc = cli.main(
+            ["filter", "--input", in2, "--output", str(tmp_path / "o2"),
+             "--buckets", "2", "--dedup-history", hist]
+        )
+        assert rc == 0
+        out2 = spark.read.parquet(str(tmp_path / "o2") + "/data")
+        assert out2.count() == 20  # the 30 re-served texts dropped
+        assert out2.where("url like 'https://mirror%'").count() == 0
+        # decision columns unchanged (text_md5 never leaks into the sink)
+        assert "text_md5" not in out2.columns

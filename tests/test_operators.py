@@ -982,6 +982,65 @@ class TestHistoryDedup:
                 df, "doc_id", "text", hist, pin="memory"
             )
 
+    def test_compact_history(self, spark, tmp_path):
+        """compact_history folds all run= dirs into one distinct-hash run;
+        probe results are unchanged and re-compaction is idempotent."""
+        import pathlib
+
+        hist = str(tmp_path / "hist")
+
+        def run(rows):
+            df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+            return sorted(
+                r["doc_id"]
+                for r in dedup.dedup_against_history(
+                    df, "doc_id", "text", hist
+                ).collect()
+            )
+
+        run([(1, "alpha"), (2, "beta")])
+        run([(3, "gamma")])
+        # plus a leftover crashed staging dir that must also be removed
+        (pathlib.Path(hist) / "_tmp-dead").mkdir()
+        assert len(list(pathlib.Path(hist).glob("run=*"))) == 2
+        n = dedup.compact_history(spark, hist)
+        assert n == 3
+        runs = list(pathlib.Path(hist).glob("run=*"))
+        assert len(runs) == 1 and runs[0].name.startswith("run=compact-")
+        assert not list(pathlib.Path(hist).glob("_tmp-*"))
+        # probe behavior identical post-compaction
+        assert run([(4, "alpha"), (5, "delta")]) == [5]
+        assert dedup.compact_history(spark, hist) == 4
+
+    def test_keep_hash_col_and_deferred_commit(self, spark, tmp_path):
+        """The resumable-sink composition: probe with
+        update_history=False + keep_hash_col=True, commit via
+        commit_history after the 'sink' — equivalent to the eager path."""
+        hist = str(tmp_path / "hist")
+        df1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id: bigint, text: string"
+        )
+        out = dedup.dedup_against_history(
+            df1, "doc_id", "text", hist,
+            update_history=False, keep_hash_col=True,
+        )
+        assert "text_md5" in out.columns and out.count() == 2
+        import os
+
+        assert not os.path.exists(hist)  # nothing committed yet
+        dedup.commit_history(out, hist)
+        # second batch sees the committed hashes
+        df2 = spark.createDataFrame(
+            [(3, "alpha"), (4, "new")], "doc_id: bigint, text: string"
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_against_history(
+                df2, "doc_id", "text", hist
+            ).collect()
+        )
+        assert got == [4]
+
     def test_update_history_false_is_read_only(self, spark, tmp_path):
         hist = str(tmp_path / "hist2")
         df = spark.createDataFrame(
