@@ -1032,6 +1032,45 @@ def _qf_dedup_pipeline_sql() -> str:
     )
 
 
+def _dedup_corpus_longest_docs(spark, sf_dir):
+    """dedup_exact_corpus keep='longest' under hash compare.  The corpus
+    is documents ∪ a whitespace-padded variant of every 7th document
+    (padding normalizes away, so each variant pair shares a hash but the
+    padded copy is strictly LONGER and must win despite its larger id) —
+    the length ranking actually discriminates, not just the id
+    tie-break.  Exercises the max_by-style struct aggregate vs the SQL
+    window oracle."""
+    from mysql_data_quality_spark.operators.dedup import dedup_exact_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    padded = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+    )
+    out = dedup_exact_corpus(docs.unionAll(padded), "doc_id", "text",
+                             keep="longest")
+    return out.select("doc_id", F.length("text").alias("text_len"))
+
+
+def _dedup_corpus_longest_docs_sql() -> str:
+    from mysql_data_quality_spark.operators.dedup import (
+        dedup_exact_corpus_sql,
+    )
+
+    return (
+        """
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id,
+         '  ' || text || '   ' as text
+  from documents where doc_id % 7 = 0
+), kept as ("""
+        + dedup_exact_corpus_sql("corpus", "doc_id", "text", keep="longest")
+        + ") select doc_id, length(text) as text_len from kept"
+    )
+
+
 # ===========================================================================
 
 
@@ -1067,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_exact_capped_docs": _dedup_exact_capped_docs,
+        "dedup_corpus_longest_docs": _dedup_corpus_longest_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_pairs": _embedding_near_pairs,
@@ -1140,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": _dedup_exact_docs_sql(),
         "dedup_exact_capped_docs": _dedup_exact_capped_docs_sql(),
+        "dedup_corpus_longest_docs": _dedup_corpus_longest_docs_sql(),
         "jaccard_pairs_docs": dedup.shingle_jaccard_pairs_sql(
             "documents", k=3, threshold=0.6
         ),
