@@ -735,15 +735,24 @@ def dedup_exact_corpus(
         raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
+    # _rh (raw-text md5) is the anti-join discriminator: cheaper to
+    # recompute on the corpus pass than the normalized hash (no regex
+    # re-normalization), and it identifies a loser ROW exactly — every
+    # row in `hashed` is classified individually, so each loser matches
+    # itself by (id, raw hash)
+    raw_h = F.md5(F.coalesce(t, F.lit("")))
     if keep == "min_id":
         hashed = df.select(
-            F.col(id_col).alias("_id"), F.md5(norm).alias("_h")
+            F.col(id_col).alias("_id"),
+            F.md5(norm).alias("_h"),
+            raw_h.alias("_rh"),
         )
         winners = hashed.groupBy("_h").agg(F.min("_id").alias("_keep"))
     else:
         hashed = df.select(
             F.col(id_col).alias("_id"),
             F.md5(norm).alias("_h"),
+            raw_h.alias("_rh"),
             F.length(F.coalesce(t, F.lit(""))).alias("_len"),
         )
         # longest text wins; ties -> smallest id.  max of (len, neg-id
@@ -761,19 +770,19 @@ def dedup_exact_corpus(
     losers = (
         hashed.join(winners, on="_h")
         .where(F.col("_id") != F.col("_keep"))
-        .select(F.col("_id").alias(id_col), "_h")
+        .select(F.col("_id").alias(id_col), "_rh")
     )
     if broadcast_losers:
         losers = F.broadcast(losers)
-    # anti join on (id, hash), not id alone: if an id appears on two rows
-    # with DIFFERENT texts (dirty crawl where url isn't unique), keying on
-    # id would also remove the id's other row even when that row won its
-    # own group (r3 ADVICE).  The hash is recomputed at the corpus scan —
-    # a projection, no extra shuffle.
+    # anti join on (id, raw hash), not id alone: if an id appears on two
+    # rows with DIFFERENT texts (dirty crawl where url isn't unique),
+    # keying on id would also remove the id's other row even when that
+    # row won its own group (r3 ADVICE).  The raw hash is recomputed at
+    # the corpus scan — a projection, no extra shuffle, no regex.
     return (
-        df.withColumn("_h", F.md5(norm))
-        .join(losers, on=[id_col, "_h"], how="left_anti")
-        .drop("_h")
+        df.withColumn("_rh", raw_h)
+        .join(losers, on=[id_col, "_rh"], how="left_anti")
+        .drop("_rh")
     )
 
 
