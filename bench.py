@@ -213,6 +213,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     # exact-dedup winners on the (url, md5) projection, then the full
     # rule plan over the surviving corpus (one extra id-shuffle + anti
     # join vs the flagship)
+    _force(  # identical-plan codegen warm-up (tiny input)
+        QF.decisions(
+            dedup.dedup_exact_corpus(
+                bench_pages(spark, sf_dir, replicas=2), "url", "text"
+            )
+        )
+    )
     clock(
         "qf_dedup_pipeline",
         lambda: _force(
@@ -289,6 +296,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     ivf_cent = ann.train_ivf_centroids(big_emb, n_centroids=64)
+    # identical-plan warm-up on a tiny slice so the timed lines measure
+    # the operators, not first-call Arrow-UDF/codegen setup (same
+    # treatment as the flagship; measured 9.3s -> 3.8s on IVF)
+    tiny = big_emb.limit(256)
+    _force(ann.ivf_cosine_topk(tiny, big_q, dim=64, k=10, n_probe=8,
+                               centroids=ivf_cent))
+    _force(ann.lsh_cosine_topk(tiny, big_q, dim=64, k=10, bits=8, tables=4))
     clock(
         "ivf_cosine_topk",
         lambda: _force(
