@@ -319,6 +319,20 @@ def cmd_stream_filter(args) -> int:
         return 0
 
 
+def cmd_compact_history(args) -> int:
+    """Maintenance for a ``filter --dedup-history`` hash history: fold all
+    committed ``run=<id>`` dirs into one distinct-hash run (crash-safe:
+    the compacted run commits before old runs are deleted).  Run between
+    ingest batches, not concurrently with an appending job."""
+    from mysql_data_quality_spark.operators.dedup import compact_history
+
+    with _Session(args.cores) as spark:
+        n = compact_history(spark, args.history_dir)
+        print(json.dumps({"history_dir": args.history_dir,
+                          "distinct_hashes": n}))
+        return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mysql_data_quality_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -419,6 +433,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dedup state backend (bloom = constant-size)")
     s.add_argument("--state-buckets", type=int, default=16)
     s.set_defaults(fn=cmd_stream_filter)
+
+    ch = sub.add_parser(
+        "compact-history",
+        help="fold a dedup hash history's run dirs into one distinct run",
+    )
+    ch.add_argument("history_dir")
+    ch.set_defaults(fn=cmd_compact_history)
     return ap
 
 

@@ -450,3 +450,15 @@ class TestCliFilterHistory:
         assert out2.where("url like 'https://mirror%'").count() == 0
         # decision columns unchanged (text_md5 never leaks into the sink)
         assert "text_md5" not in out2.columns
+
+        # compact-history maintenance: runs fold into one distinct run,
+        # and a follow-up probe still drops everything already seen
+        rc = cli.main(["compact-history", hist])
+        assert rc == 0
+        payload = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert payload["distinct_hashes"] == 80  # 60 + 20 committed
+        import pathlib
+
+        assert len(list(pathlib.Path(hist).glob("run=*"))) == 1
