@@ -204,3 +204,44 @@ class TestRandomizedCrashPoints:
             w.run(decisions, group_size=2)  # resume
             assert w.completed_buckets() == set(range(8))
             assert _table(spark, w).equals(expected)
+
+
+class TestIcebergSink:
+    """Env-gated like multimodal.real_decode: the gate and plumbing are
+    tested; the runtime jar is what the sandbox lacks."""
+
+    def test_unavailable_raises_with_guidance(self, spark):
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline.iceberg_sink import (
+            IcebergUnavailable,
+            write_decisions_iceberg,
+        )
+        from tests.conftest import SF_SMOKE
+
+        import pytest
+
+        dec = P.read_pages(spark, SF_SMOKE).limit(5)
+        with pytest.raises(IcebergUnavailable, match="iceberg-spark-runtime"):
+            write_decisions_iceberg(dec, "lake.db.decisions")
+
+    def test_available_requires_loadable_class(self, spark):
+        """Config alone must NOT count as available: a conf naming a
+        class that is not on the classpath is still unavailable."""
+        from mysql_data_quality_spark.pipeline.iceberg_sink import (
+            iceberg_available,
+        )
+
+        assert not iceberg_available(spark, "lake")
+        spark.conf.set(
+            "spark.sql.catalog.lake",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        try:
+            assert not iceberg_available(spark, "lake")  # class not shipped
+            # a class that IS loadable flips the gate
+            spark.conf.set(
+                "spark.sql.catalog.lake", "java.lang.String"
+            )
+            assert iceberg_available(spark, "lake")
+        finally:
+            spark.conf.unset("spark.sql.catalog.lake")
