@@ -104,9 +104,10 @@ def bench_embeddings(spark, sf_dir: str, replicas: int = 10):
     )
 
 
-def _topk_recall(approx_df, exact_df, k: int) -> float:
-    """Mean per-query |approx ∩ exact| / k over the exact result's
-    queries (both frames: query_id, vec_id, rank <= k)."""
+def _topk_recall(approx_df, exact_df) -> float:
+    """Mean per-query |approx ∩ exact| / |exact| over the exact result's
+    queries (both frames: query_id, vec_id, rank) — the denominator is
+    the exact hit count, so a corpus smaller than k cannot inflate it."""
     exact: dict = {}
     for r in exact_df.collect():
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -324,7 +325,6 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
                 big_emb, big_q, dim=64, k=10, n_probe=8, centroids=ivf_cent
             ),
             exact_topk,
-            10,
         ),
         3,
     )
@@ -334,7 +334,6 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
                 big_emb, big_q, dim=64, k=10, bits=8, tables=4
             ),
             exact_topk,
-            10,
         ),
         3,
     )
@@ -414,6 +413,12 @@ def scaling_run(
             rec = json.loads(proc.stdout.strip().splitlines()[-1])
             results[cores].append(rec["queries"]["docs_per_sec"])
             detail[str(cores)].append(rec["queries"])
+            # per-trial line on stderr so `2> run.log` captures a real
+            # run log alongside the final JSON
+            print(
+                f"trial={t} cores={cores} {json.dumps(rec['queries'])}",
+                file=sys.stderr,
+            )
             if not (t == trials - 1 and cores == 4 * n):
                 time.sleep(cooldown)
     thr_n = max(results[n])

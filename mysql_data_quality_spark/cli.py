@@ -223,16 +223,20 @@ def cmd_filter(args) -> int:
             if args.input
             else P.read_pages(spark, args.documents)
         )
-        if getattr(args, "dedup", False):
+        hist_dir = getattr(args, "dedup_history", None)
+        if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
-            # scrubbing run once per surviving document
+            # scrubbing run once per surviving document.  Skipped when
+            # --dedup-history is set: dedup_against_history already runs
+            # the identical within-batch dedup internally — running it
+            # here too would pay the md5 + groupBy + anti join twice for
+            # the same result (round-4 review finding)
             from mysql_data_quality_spark.operators.dedup import (
                 dedup_exact_corpus,
             )
 
             pages = dedup_exact_corpus(pages, "url", "text")
-        hist_dir = getattr(args, "dedup_history", None)
         if hist_dir:
             # cross-RUN incremental dedup: probe the hash history now,
             # commit this run's hashes only AFTER the checkpointed write
@@ -292,6 +296,12 @@ def cmd_stream_filter(args) -> int:
     )
 
     with _Session(args.cores) as spark:
+        # recentProgress retains only the last N progress entries
+        # (default 100) — a large backlog split into more micro-batches
+        # than that would silently undercount the printed stats, so raise
+        # the retention well past any plausible availableNow tick
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                       "100000")
         q = start_filter_stream(
             spark,
             args.input_dir,

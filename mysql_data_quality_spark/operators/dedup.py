@@ -741,13 +741,22 @@ def dedup_exact_corpus(
     # row in `hashed` is classified individually, so each loser matches
     # itself by (id, raw hash)
     raw_h = F.md5(F.coalesce(t, F.lit("")))
+    # the winner is a ROW, not just an id: the raw hash joins the ranking
+    # struct as the last tie-break, so when one id carries several rows of
+    # a group (dirty crawl), exactly one row wins and the id's other rows
+    # are losers — id-level winner selection used to keep them all (the
+    # keep-one contract the SQL row_number oracle always had).  Rows fully
+    # identical in (id, raw text) remain indistinguishable by any column
+    # and all survive (degenerate input; same in the SQL oracle's eyes).
     if keep == "min_id":
         hashed = df.select(
             F.col(id_col).alias("_id"),
             F.md5(norm).alias("_h"),
             raw_h.alias("_rh"),
         )
-        winners = hashed.groupBy("_h").agg(F.min("_id").alias("_keep"))
+        winners = hashed.groupBy("_h").agg(
+            F.min(F.struct("_id", "_rh")).alias("_w")
+        )
     else:
         hashed = df.select(
             F.col(id_col).alias("_id"),
@@ -755,21 +764,27 @@ def dedup_exact_corpus(
             raw_h.alias("_rh"),
             F.length(F.coalesce(t, F.lit(""))).alias("_len"),
         )
-        # longest text wins; ties -> smallest id.  max of (len, neg-id
-        # ordering) via a struct: max over (_len, _id DESC)? struct max
-        # orders lexicographically ASC per field, so invert the id by
-        # taking min over (-_len, _id).
+        # longest text wins; ties -> smallest id, then raw hash.  struct
+        # min orders lexicographically ASC per field, so invert the
+        # length: min over (-_len, _id, _rh).
         winners = (
             hashed.groupBy("_h")
             .agg(
-                F.min(F.struct((-F.col("_len")).alias("_nl"), F.col("_id")))
-                .alias("_w")
+                F.min(
+                    F.struct(
+                        (-F.col("_len")).alias("_nl"),
+                        F.col("_id"),
+                        F.col("_rh"),
+                    )
+                ).alias("_w")
             )
-            .select("_h", F.col("_w._id").alias("_keep"))
         )
     losers = (
         hashed.join(winners, on="_h")
-        .where(F.col("_id") != F.col("_keep"))
+        .where(
+            (F.col("_id") != F.col("_w._id"))
+            | (F.col("_rh") != F.col("_w._rh"))
+        )
         .select(F.col("_id").alias(id_col), "_rh")
     )
     if broadcast_losers:
@@ -790,21 +805,27 @@ def dedup_exact_corpus_sql(
     rel: str, id_col: str = "url", text_col: str = "text", keep: str = "min_id"
 ) -> str:
     """DuckDB oracle for :func:`dedup_exact_corpus`: same md5-of-normalized
-    -text grouping, representative per ``keep`` policy."""
+    -text grouping, representative per ``keep`` policy — raw-text md5 as
+    the final tie-break, matching the Spark side's row-exact winner."""
+    raw = f"md5(coalesce({text_col}, ''))"
     order = (
-        f"order by {id_col}"
+        f"order by {id_col}, {raw}"
         if keep == "min_id"
-        else f"order by length(coalesce({text_col}, '')) desc, {id_col}"
+        else f"order by length(coalesce({text_col}, '')) desc, {id_col}, {raw}"
     )
+    # the winner join is keyed (id, raw md5) like the Spark anti join —
+    # `using (id)` alone would re-attach the id's other rows in a
+    # duplicate-id corpus
     return f"""
 select {rel}.* from {rel}
 join (
-  select {id_col}, row_number() over (
+  select {id_col}, {raw} as _raw_md5, row_number() over (
            partition by md5({normalized_text_sql(text_col)})
            {order}
          ) as _rn
   from {rel}
-) k using ({id_col})
+) k on k.{id_col} = {rel}.{id_col}
+   and k._raw_md5 = md5(coalesce({rel}.{text_col}, ''))
 where k._rn = 1
 """
 
@@ -963,9 +984,33 @@ def compact_history(spark: SparkSession, history_dir: str) -> int:
     touching thousands of tiny run dirs."""
     import uuid
 
-    distinct = spark.read.parquet(history_dir).select("text_md5").distinct()
-    distinct = distinct.localCheckpoint()  # pin before deleting sources
-    n = distinct.count()
+    from pyspark.errors import AnalysisException
+
+    jvm0 = spark._jvm
+    hpath0 = jvm0.org.apache.hadoop.fs.Path
+    fs0 = hpath0(history_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    try:
+        distinct = (
+            spark.read.parquet(history_dir).select("text_md5").distinct()
+        )
+        distinct = distinct.localCheckpoint()  # pin before deleting sources
+        n = distinct.count()
+    except AnalysisException as e:
+        # no committed history: either the dir never existed, or it holds
+        # only crashed _tmp-* staging dirs (no visible data files) — the
+        # same bootstrap states dedup_against_history tolerates.  Clean
+        # the stale staging dirs and report 0 instead of crashing the
+        # maintenance job on exactly the mess it exists to clean up.
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
+        if fs0.exists(hpath0(history_dir)):
+            for status in fs0.listStatus(hpath0(history_dir)):
+                if status.getPath().getName().startswith("_tmp-"):
+                    fs0.delete(status.getPath(), True)
+        return 0
     compact_id = f"compact-{uuid.uuid4().hex[:12]}"
     _commit_history_run(distinct, history_dir, run_id=compact_id)
     jvm = spark._jvm

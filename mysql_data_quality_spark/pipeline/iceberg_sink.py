@@ -66,6 +66,14 @@ def write_decisions_iceberg(
     subsequent writes ``overwritePartitions`` — a replayed batch replaces
     its own buckets only.
 
+    .. warning:: the partition spec is applied ONLY at table creation —
+       DataFrameWriterV2 ignores ``partitionedBy`` on the overwrite
+       path, so for an existing table the TABLE's spec governs replay
+       granularity, not this call's ``n_buckets``.  Changing the bucket
+       count is an Iceberg partition-spec evolution (``ALTER TABLE ...
+       REPLACE PARTITION FIELD``), done once at the catalog, not by
+       passing a different ``n_buckets`` here.
+
     Raises :class:`IcebergUnavailable` when the session has no loadable
     Iceberg catalog (this sandbox).
     """

@@ -43,8 +43,11 @@ def main() -> None:
     ap.add_argument("--arrow-udfs", action="store_true",
                     help="score langid/perplexity via Arrow pandas UDFs")
     ap.add_argument("--dedup", action="store_true",
-                    help="exact-dedup (keep smallest url per normalized "
-                    "text) before filtering")
+                    help="dedup before filtering; batch mode: exact-dedup "
+                    "(keep smallest url per normalized text); with "
+                    "--stream: stateful FIRST-SEEN-URL dedup across "
+                    "micro-batches (a stream has no corpus-wide text "
+                    "view — see streaming/incremental.py)")
     ap.add_argument("--files-per-bucket", type=int, default=None,
                     help="repartition before the write so each bucket "
                     "lands in at most this many files")
@@ -74,6 +77,11 @@ def main() -> None:
                 start_filter_stream,
             )
 
+            # keep every micro-batch's progress entry so the printed
+            # stats don't undercount large backlogs (default cap: 100)
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", "100000"
+            )
             q = start_filter_stream(
                 spark, args.input, args.output, args.checkpoint,
                 dedup=args.dedup,

@@ -819,6 +819,44 @@ class TestDeduplicatedCorpus:
             )
             assert got == [("u0", "alpha"), ("u1", "beta"), ("u2", "gamma")]
 
+    def test_dedup_exact_corpus_same_id_same_group(self, spark, duck):
+        """Round-4 review finding: when the SAME id carries two rows of
+        one normalized-text group, exactly ONE row must survive (the
+        winner is a row, not an id) — and Spark must agree with the SQL
+        window oracle on which."""
+        rows = [
+            ("u1", "beta"),
+            ("u1", " BETA  "),   # same group as above, same id
+            ("u1", "beta"),      # fully identical (id, text) twin: kept
+            ("u2", "other"),
+        ]
+        df = spark.createDataFrame(rows, "url: string, text: string")
+        for keep in ("min_id", "longest"):
+            got = sorted(
+                (r["url"], r["text"])
+                for r in dedup.dedup_exact_corpus(
+                    df, "url", "text", keep=keep
+                ).collect()
+            )
+            pdf = df.toPandas()
+            duck.register("sg_src", pdf)
+            oracle = sorted(
+                map(
+                    tuple,
+                    duck.sql(
+                        dedup.dedup_exact_corpus_sql("sg_src", "url", "text",
+                                                     keep=keep)
+                    ).fetchall(),
+                )
+            )
+            assert got == oracle, keep
+            # one winner ROW for the beta-group id (plus its exact twin)
+            beta = [t for t in got if t[0] == "u1"]
+            if keep == "min_id":
+                assert beta == [("u1", "beta"), ("u1", "beta")]
+            else:
+                assert beta == [("u1", " BETA  ")]
+
     def test_dedup_exact_corpus_keep_policies(self, spark, duck):
         """keep='min_id' vs keep='longest' (the training-data policy:
         truncated re-crawls lose to the fullest copy), both matching
@@ -1011,6 +1049,22 @@ class TestHistoryDedup:
         # probe behavior identical post-compaction
         assert run([(4, "alpha"), (5, "delta")]) == [5]
         assert dedup.compact_history(spark, hist) == 4
+
+    def test_compact_history_staging_only_and_missing(self, spark, tmp_path):
+        """Round-4 review finding: compacting a history that holds only
+        crashed _tmp-* staging dirs (or doesn't exist) must clean up and
+        report 0, not crash on UNABLE_TO_INFER_SCHEMA."""
+        import pathlib
+
+        hist = tmp_path / "hist"
+        assert dedup.compact_history(spark, str(hist)) == 0  # missing dir
+        stage = hist / "_tmp-dead"
+        stage.mkdir(parents=True)
+        spark.createDataFrame(
+            [("0" * 32,)], "text_md5: string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        assert dedup.compact_history(spark, str(hist)) == 0
+        assert not list(pathlib.Path(hist).glob("_tmp-*"))  # cleaned
 
     def test_keep_hash_col_and_deferred_commit(self, spark, tmp_path):
         """The resumable-sink composition: probe with
