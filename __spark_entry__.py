@@ -1049,7 +1049,11 @@ def _dedup_corpus_longest_docs(spark, sf_dir):
     )
     out = dedup_exact_corpus(docs.unionAll(padded), "doc_id", "text",
                              keep="longest")
-    return out.select("doc_id", F.length("text").alias("text_len"))
+    # cast to long: DuckDB length() is BIGINT, Spark's is INT — keep the
+    # pandas dtypes identical for the driver's value hash
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
 
 
 def _dedup_corpus_longest_docs_sql() -> str:
