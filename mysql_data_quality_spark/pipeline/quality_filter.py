@@ -39,6 +39,7 @@ def annotate(
     claimed_lang: str = "lang",
     use_arrow_udfs: bool = False,
     rules: tuple | None = None,
+    lm=None,
 ) -> DataFrame:
     """pages -> pages + features + hit_<rule> columns + keep/drop/scrub.
 
@@ -47,6 +48,14 @@ def annotate(
     results; see tests/test_udf_parity.py).  ``rules`` overrides the
     default heuristic registry (parameterized thresholds, enable flags) —
     the reference's ValidationRule surface.
+
+    ``lm`` plugs a REAL language model into the perplexity feature: an
+    :class:`~mysql_data_quality_spark.rules.arpa.ArpaModel` (KenLM's ARPA
+    text format, parsed by ``rules/arpa.py``) whose Arrow-batched backoff
+    scorer replaces ``avg_logp`` — the deployment path when the shipped
+    deterministic unigram stand-in graduates to trained weights.  The
+    perplexity rule's threshold then applies to the model's mean ln-prob
+    (tune ``DQS_RULE_MIN_AVG_LOGP`` to the model's scale).
     """
     df = heuristics.with_features(pages, text_col)
     if use_arrow_udfs:
@@ -55,6 +64,15 @@ def annotate(
                 "det_lang": langid.detect_pandas_udf()(F.col(text_col)),
                 "avg_logp": perplexity.avg_logprob_pandas_udf()(F.col(text_col)),
             }
+        )
+    if lm is not None:
+        from mysql_data_quality_spark.rules import arpa
+
+        df = df.withColumn(
+            "avg_logp",
+            arpa.avg_logprob_pandas_udf(
+                lm, sc=pages.sparkSession.sparkContext
+            )(F.col(text_col)),
         )
 
     hits = heuristics.hit_cols(text_col, claimed_lang, rules)

@@ -1,0 +1,143 @@
+"""ARPA n-gram LM: parse + backoff semantics + Arrow scoring parity
+(the KenLM-format upgrade path for the perplexity rule)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.rules import arpa
+
+LN10 = math.log(10.0)
+
+# A tiny but complete ARPA file: KenLM lmplz section layout, tab-separated
+# logprob / ngram / backoff columns, <unk> listed.
+TINY_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\tthe\t-0.30103
+-1.30103\tcat\t-0.30103
+-1.30103\tsat\t-0.30103
+-1.69897\tmat\t0.0
+-3.0\t<unk>
+
+\\2-grams:
+-0.30103\tthe cat
+-0.52288\tcat sat
+-0.69897\tthe mat
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def model():
+    return arpa.parse_arpa(TINY_ARPA)
+
+
+class TestParse:
+    def test_counts_and_tables(self, model):
+        assert model.order == 2
+        assert model.counts == (5, 3)
+        assert len(model.ngrams[0]) == 5 and len(model.ngrams[1]) == 3
+        # log10 -> ln conversion
+        logp, backoff = model.ngrams[0][("the",)]
+        assert logp == -1.0 * LN10
+        assert backoff == -0.30103 * LN10
+        # bigram rows carry no backoff column -> 0.0
+        assert model.ngrams[1][("the", "cat")] == (-0.30103 * LN10, 0.0)
+        assert model.unk_ln == -3.0 * LN10  # listed <unk> becomes the floor
+
+    def test_malformed_raises(self):
+        with pytest.raises(ValueError, match="data"):
+            arpa.parse_arpa("\\1-grams:\n-1.0\tx\n\\end\\\n")
+        with pytest.raises(ValueError, match="header says"):
+            arpa.parse_arpa(TINY_ARPA.replace("ngram 2=3", "ngram 2=4"))
+        with pytest.raises(ValueError, match="end"):
+            arpa.parse_arpa(TINY_ARPA.replace("\\end\\", ""))
+        with pytest.raises(ValueError, match="2-grams"):
+            arpa.parse_arpa(
+                TINY_ARPA.replace("-0.30103\tthe cat", "-0.30103\tthe")
+            )
+
+
+class TestBackoff:
+    def test_seen_bigram_uses_bigram(self, model):
+        assert model.logprob("cat", ("the",)) == -0.30103 * LN10
+
+    def test_unseen_bigram_backs_off(self, model):
+        # p(mat | cat) = backoff(cat) + p(mat): both listed
+        want = (-0.30103 * LN10) + (-1.69897 * LN10)
+        assert model.logprob("mat", ("cat",)) == pytest.approx(want, abs=0)
+
+    def test_context_without_backoff_entry(self, model):
+        # context "mat" has backoff 0.0 -> plain unigram fallthrough
+        assert model.logprob("the", ("mat",)) == -1.0 * LN10
+
+    def test_oov_uses_unk(self, model):
+        assert model.logprob("zzz", ()) == -3.0 * LN10
+        # OOV after a context: backoff(context) + unk
+        want = (-0.30103 * LN10) + (-3.0 * LN10)
+        assert model.logprob("zzz", ("the",)) == pytest.approx(want, abs=0)
+
+    def test_avg_logprob_sequential(self, model):
+        # "The cat sat" (lowercased): p(the) + p(cat|the) + p(sat|cat)
+        want = (
+            (-1.0 * LN10) + (-0.30103 * LN10) + (-0.52288 * LN10)
+        ) / 3.0
+        assert model.avg_logprob("The cat sat") == want
+        assert model.avg_logprob("") == model.unk_ln
+        assert model.avg_logprob(None) == model.unk_ln
+
+    def test_long_doc_context_bounded(self, model):
+        # 50k tokens must score in one pass without O(n^2) context growth
+        text = "the cat sat " * 16_667
+        got = model.avg_logprob(text)
+        assert got < 0.0 and math.isfinite(got)
+
+
+class TestSparkScoring:
+    def test_udf_matches_driver_and_partitioning(self, spark, model):
+        rows = [
+            (1, "The cat sat"),
+            (2, "the mat"),
+            (3, "totally unseen words here"),
+            (4, ""),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        udf = arpa.avg_logprob_pandas_udf(model, sc=spark.sparkContext)
+        for parts in (1, 7):
+            got = {
+                r["doc_id"]: r["s"]
+                for r in df.repartition(parts)
+                .select("doc_id", udf(F.col("text")).alias("s"))
+                .collect()
+            }
+            for doc_id, text in rows:
+                assert got[doc_id] == model.avg_logprob(text), doc_id
+
+    def test_annotate_lm_plugs_into_pipeline(self, spark, model):
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+        from tests.conftest import SF_SMOKE
+
+        pages = P.read_pages(spark, SF_SMOKE).limit(50)
+        ann = QF.annotate(pages, lm=model)
+        rows = ann.select(
+            "url", "text", "avg_logp", "hit_low_logprob"
+        ).collect()
+        assert rows
+        for r in rows:
+            want = model.avg_logprob(r["text"])
+            assert r["avg_logp"] == want, r["url"]
+            # the low_logprob rule thresholds on the MODEL's scores now
+            assert r["hit_low_logprob"] == (want < -6.0), r["url"]
+        # this tiny model scores real web text as mostly-OOV -> the rule
+        # actually fires (the plug-in changes decisions, not just a col)
+        assert any(r["hit_low_logprob"] for r in rows)
