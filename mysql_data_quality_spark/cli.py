@@ -250,7 +250,12 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
-        ann = QF.annotate(pages, rules=rules)
+        lm = None
+        if getattr(args, "arpa_model", None):
+            from mysql_data_quality_spark.rules.arpa import parse_arpa_file
+
+            lm = parse_arpa_file(args.arpa_model)
+        ann = QF.annotate(pages, rules=rules, lm=lm)
         observed, obs = QF.observe_metrics(ann, rules=rules)
         dec = observed.select(*QF.DECISION_COLS)
         writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
@@ -424,6 +429,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="cross-run incremental dedup: drop documents whose text "
         "hash is in this history dir; commit this run's hashes after "
         "the write completes",
+    )
+    f.add_argument(
+        "--arpa-model",
+        default=None,
+        metavar="PATH",
+        help="score perplexity with a real ARPA n-gram model (KenLM "
+        "format) instead of the built-in unigram stand-in; tune "
+        "DQS_RULE_MIN_AVG_LOGP to the model's scale",
     )
     f.set_defaults(fn=cmd_filter)
 

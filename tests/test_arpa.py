@@ -141,3 +141,26 @@ class TestSparkScoring:
         # this tiny model scores real web text as mostly-OOV -> the rule
         # actually fires (the plug-in changes decisions, not just a col)
         assert any(r["hit_low_logprob"] for r in rows)
+
+    def test_cli_filter_arpa_model(self, spark, tmp_path, monkeypatch, capsys):
+        """filter --arpa-model PATH: decisions reflect the real model's
+        low_logprob scoring end-to-end."""
+        import json
+
+        from mysql_data_quality_spark import cli
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        arpa_path = tmp_path / "tiny.arpa"
+        arpa_path.write_text(TINY_ARPA)
+        out = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out,
+             "--buckets", "2", "--arpa-model", str(arpa_path)]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["written"] == 2
+        dec = spark.read.parquet(f"{out}/data")
+        # the tiny model scores web text mostly-OOV -> low_logprob drops
+        assert dec.where("drop_reason like '%low_logprob%'").count() > 0
