@@ -6,16 +6,24 @@ weights" upgrade path for the perplexity rule.
 downloads in this environment, per BASELINE.json); this module makes the
 KenLM story concrete without the kenlm C library: KenLM *trains to* and
 *interoperates with* the ARPA text format (``\\data\\`` header, per-order
-``\\n-grams:`` sections of ``logprob<TAB>ngram[<TAB>backoff]``), which is
-plain text — parsing it and applying Katz backoff is pure Python + dict
-lookups, Arrow-batched for scoring.
+``\\n-grams:`` sections of ``logprob<TAB>ngram[<TAB>backoff]``; space-
+delimited variants accepted), which is plain text — parsing it and
+applying backoff is pure Python + dict lookups, Arrow-batched for
+scoring.
 
-Scoring follows the standard backoff recursion (same semantics KenLM
-implements in C):
+Scoring follows the standard backoff recursion over the ARPA tables:
 
     p(w | ctx)           = logp(ctx + w)                 if ctx+w listed
                          = backoff(ctx) + p(w | ctx[1:]) otherwise
-    p(w | ())            = logp(w)  or  unk_logp for OOV
+    p(w | ())            = logp(w)  or  <unk> / unk floor for OOV
+
+Sentence conditioning matches KenLM's ``score()`` WHEN the model carries
+sentence markers: if ``<s>`` is a listed unigram, documents are scored
+with ``<s>`` as the initial context and a final ``</s>`` event (the
+denominator is then token count + 1); models without markers score the
+first token as a bare unigram.  ARPA's ``-99`` convention for the
+unscorable ``<s>`` unigram never enters a score (``<s>`` is only ever
+context).
 
 Determinism: log values come from decimal text (one fixed float64 parse),
 token scores accumulate in a fixed sequential order, so a document's
@@ -24,10 +32,12 @@ widths — the same invariant the unigram paths pin (north-rule
 byte-identity of decisions).
 
 Scale: an ARPA model is driver-side state shipped to executors once per
-model (a real KenLM web model is GBs — at that size, persist the parsed
-tables and move to ``SparkContext.broadcast``, which this module uses
-when given a SparkContext; closure capture otherwise).  Scoring stays
-Arrow-batched: no per-row Python, one pandas UDF call per batch.
+model.  ``avg_logprob_pandas_udf(model, sc=...)`` uses a
+``SparkContext.broadcast`` (one torrent transfer per executor, reused
+across calls via a per-model cache) and keeps the model OUT of the task
+closure; files parse line-streamed, so peak driver memory is the parsed
+tables, not 3x the file text.  Scoring stays Arrow-batched: no per-row
+Python, one pandas UDF call per batch.
 
 Reference analogue: the custom-validator hook
 (``/root/reference/src/data_quality/validators/patterns.py:221-224``),
@@ -39,20 +49,26 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Iterable, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
+
+# one source of truth with the unigram stand-in: same tokenizer charset,
+# same OOV floor — the two avg_logp paths must agree on OOV/empty-doc
+# semantics (review r4)
+from mysql_data_quality_spark.rules.perplexity import (
+    OOV_LOGP as _DEFAULT_UNK_LN,
+)
+from mysql_data_quality_spark.rules.perplexity import _WS
 
 # log10 -> ln: ARPA stores log10 probabilities; the perplexity rule
 # thresholds mean natural-log prob, so convert once at parse time with a
 # single multiply (deterministic).
 _LN10 = math.log(10.0)
 
-_WS = re.compile(r"[ \t\n\x0B\f\r]+")  # same tokenizer as perplexity.py
-
-_DEFAULT_UNK_LN = -442.0 / 32.0  # perplexity.OOV_LOGP — same OOV floor
+_MARKERS = ("<s>", "</s>", "<unk>")
 
 
 @dataclass
@@ -71,6 +87,10 @@ class ArpaModel:
     @property
     def order(self) -> int:
         return len(self.ngrams)
+
+    @property
+    def has_sentence_markers(self) -> bool:
+        return ("<s>",) in self.ngrams[0]
 
     def logprob(self, word: str, context: Tuple[str, ...]) -> float:
         """ln p(word | context), standard backoff recursion (context is
@@ -93,9 +113,13 @@ class ArpaModel:
             ctx = ctx[1:]
 
     def avg_logprob(self, text: Optional[str]) -> float:
-        """Mean ln-prob per token over the document, fixed left-to-right
+        """Mean ln-prob per scored event, fixed left-to-right
         accumulation; ``unk_ln`` for an empty document (scores like pure
-        noise, matching perplexity.EMPTY_DOC_LOGP semantics)."""
+        noise, matching perplexity.EMPTY_DOC_LOGP semantics).
+
+        With sentence markers in the model, the first token conditions on
+        ``<s>`` and a final ``</s>`` event is scored (KenLM ``score()``
+        semantics; events = tokens + 1); otherwise events = tokens."""
         toks = [t for t in _WS.split(text or "") if t]
         if self.lowercase:
             toks = [t.lower() for t in toks]
@@ -103,28 +127,67 @@ class ArpaModel:
             return self.unk_ln
         total = 0.0
         keep = self.order - 1
-        ctx: Tuple[str, ...] = ()
+        markers = self.has_sentence_markers
+        ctx: Tuple[str, ...] = ("<s>",) if markers else ()
+        events = len(toks)
         for t in toks:
             total = total + self.logprob(t, ctx)
             # context stays bounded at order-1 tokens (tuple concat on an
             # unbounded context would cost O(n^2) over a 50k-token doc)
             ctx = (ctx + (t,))[-keep:] if keep > 0 else ()
-        return total / float(len(toks))
+        if markers:
+            total = total + self.logprob("</s>", ctx)
+            events += 1
+        return total / float(events)
 
 
-def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
-    """Parse ARPA text (the format KenLM's ``lmplz`` emits) into an
-    :class:`ArpaModel`.  Validates the ``\\data\\`` header counts against
-    the parsed sections; raises ``ValueError`` on malformed input rather
-    than silently scoring with a truncated model."""
-    lines = iter(text.splitlines())
+def _parse_entry(
+    line: str, section: int
+) -> Tuple[str, Tuple[str, ...], Optional[str]]:
+    """One n-gram entry -> (logprob, words, backoff-or-None).
+
+    Tab-separated (KenLM ``lmplz`` output: logp<TAB>ngram[<TAB>backoff])
+    splits directly; in the space-delimited variant the field count
+    disambiguates: leading logprob + ``section`` words + optional
+    trailing backoff."""
+    parts = line.split("\t")
+    if len(parts) >= 2:
+        words = tuple(_WS.split(parts[1].strip()))
+        return (
+            parts[0].strip(),
+            words,
+            parts[2].strip() if len(parts) > 2 else None,
+        )
+    parts = line.split()
+    if len(parts) == section + 1:  # logp + words
+        return parts[0], tuple(parts[1:]), None
+    if len(parts) == section + 2:  # logp + words + backoff
+        return parts[0], tuple(parts[1:-1]), parts[-1]
+    raise ValueError(
+        f"ARPA: entry {line!r} has {len(parts)} fields in a "
+        f"\\{section}-grams: section (want {section + 1} or {section + 2})"
+    )
+
+
+def parse_arpa_lines(
+    lines: Iterable[str], lowercase: bool = True
+) -> ArpaModel:
+    """Parse ARPA lines (the format KenLM's ``lmplz`` emits) into an
+    :class:`ArpaModel` — streaming, so a file handle parses without
+    holding the text in memory.  Validates the ``\\data\\`` header counts
+    against the parsed LINES per section (so ``lowercase=True`` folding
+    case-variant n-grams into one key — keeping the max probability —
+    does not trip validation); raises ``ValueError`` on malformed input
+    rather than silently scoring with a truncated model."""
+    it = iter(lines)
     counts: list[int] = []
-    for raw in lines:
+    for raw in it:
         if raw.strip() == "\\data\\":
             break
     else:
         raise ValueError("ARPA: missing \\data\\ header")
-    for raw in lines:
+    first_section = None
+    for raw in it:
         line = raw.strip()
         if not line:
             continue
@@ -139,7 +202,7 @@ def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
             first_section = line
             break
         raise ValueError(f"ARPA: unexpected line in header: {line!r}")
-    else:
+    if first_section is None:
         raise ValueError("ARPA: no n-gram sections")
     if not counts:
         raise ValueError("ARPA: empty \\data\\ header")
@@ -147,8 +210,19 @@ def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
     tables: list[Dict[Tuple[str, ...], Tuple[float, float]]] = [
         {} for _ in counts
     ]
-    section = int(first_section[1:].split("-", 1)[0])
-    for raw in lines:
+    seen_lines = [0] * len(counts)
+
+    def set_section(marker: str) -> int:
+        s = int(marker[1:].split("-", 1)[0])
+        if not (1 <= s <= len(counts)):
+            raise ValueError(
+                f"ARPA: section \\{s}-grams: not declared in \\data\\ "
+                f"header (max order {len(counts)})"
+            )
+        return s
+
+    section = set_section(first_section)
+    for raw in it:
         line = raw.strip()
         if not line:
             continue
@@ -157,33 +231,33 @@ def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
             break
         m = re.match(r"\\(\d+)-grams:$", line)
         if m:
-            section = int(m.group(1))
+            section = set_section(line)
             continue
-        parts = line.split("\t")
-        if len(parts) < 2:
-            parts = line.split()
-            if len(parts) < 2:
-                raise ValueError(f"ARPA: malformed entry {line!r}")
-            parts = [parts[0], " ".join(parts[1:])]
-        logp = float(parts[0]) * _LN10
-        words = tuple(_WS.split(parts[1].strip()))
+        logp_s, words, backoff_s = _parse_entry(line, section)
+        logp = float(logp_s) * _LN10
         if lowercase:
             words = tuple(
-                w.lower() if w not in ("<s>", "</s>", "<unk>") else w
-                for w in words
+                w if w in _MARKERS else w.lower() for w in words
             )
         if len(words) != section:
             raise ValueError(
                 f"ARPA: {len(words)}-gram {words!r} in \\{section}-grams:"
             )
-        backoff = float(parts[2]) * _LN10 if len(parts) > 2 else 0.0
-        tables[section - 1][words] = (logp, backoff)
+        backoff = float(backoff_s) * _LN10 if backoff_s is not None else 0.0
+        seen_lines[section - 1] += 1
+        prev = tables[section - 1].get(words)
+        # case-folded collisions keep the higher probability (deterministic
+        # for any input order); exact duplicates are header-count errors in
+        # the source file and will fail the line-count check upstream tools
+        # also enforce
+        if prev is None or logp > prev[0]:
+            tables[section - 1][words] = (logp, backoff)
     if section != -1:
         raise ValueError("ARPA: missing \\end\\")
-    for i, (want, table) in enumerate(zip(counts, tables), start=1):
-        if len(table) != want:
+    for i, (want, n_seen) in enumerate(zip(counts, seen_lines), start=1):
+        if n_seen != want:
             raise ValueError(
-                f"ARPA: header says ngram {i}={want}, parsed {len(table)}"
+                f"ARPA: header says ngram {i}={want}, parsed {n_seen}"
             )
     unk = tables[0].get(("<unk>",))
     return ArpaModel(
@@ -194,22 +268,51 @@ def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
     )
 
 
+def parse_arpa(text: str, lowercase: bool = True) -> ArpaModel:
+    """Parse ARPA from an in-memory string (tests, tiny models)."""
+    return parse_arpa_lines(text.splitlines(), lowercase=lowercase)
+
+
 def parse_arpa_file(path: str, lowercase: bool = True) -> ArpaModel:
+    """Parse an ARPA file line-streamed: peak driver memory is the parsed
+    tables, never a whole-file string (GB-scale models)."""
     with open(path, encoding="utf-8") as fh:
-        return parse_arpa(fh.read(), lowercase=lowercase)
+        return parse_arpa_lines(fh, lowercase=lowercase)
 
 
 def avg_logprob_pandas_udf(model: ArpaModel, sc=None) -> Column:
-    """Arrow-batched scorer: text -> mean ln-prob per token under the
+    """Arrow-batched scorer: text -> mean ln-prob per event under the
     ARPA model.  Pass the SparkContext to ship the model via a torrent
     broadcast instead of task-closure capture (right for models beyond a
-    few MB; mandatory for real web-scale KenLM models)."""
-    bc = sc.broadcast(model) if sc is not None else None
+    few MB; mandatory for real web-scale KenLM models).
+
+    The broadcast is cached on the model instance per SparkContext, so
+    repeated ``annotate(lm=model)`` calls in one session reuse ONE
+    broadcast instead of leaking one per call; the closure carries only
+    the broadcast handle, never the model itself."""
+    if sc is not None:
+        cached = getattr(model, "_bc_cache", None)
+        if cached is None or cached[0] != sc.applicationId:
+            # the cache attr must not ride the broadcast pickle (a
+            # Broadcast inside a broadcast does not serialize) — strip
+            # it before re-broadcasting under a new context
+            if cached is not None:
+                del model._bc_cache
+            cached = (sc.applicationId, sc.broadcast(model))
+            model._bc_cache = cached
+        bc = cached[1]
+
+        def batch_bc(texts: pd.Series) -> pd.Series:
+            m = bc.value
+            return pd.Series(
+                [m.avg_logprob(t) for t in texts], dtype="float64"
+            )
+
+        return pandas_udf(batch_bc, "double")
 
     def batch(texts: pd.Series) -> pd.Series:
-        m = bc.value if bc is not None else model
         return pd.Series(
-            [m.avg_logprob(t) for t in texts], dtype="float64"
+            [model.avg_logprob(t) for t in texts], dtype="float64"
         )
 
     return pandas_udf(batch, "double")

@@ -164,3 +164,90 @@ class TestSparkScoring:
         dec = spark.read.parquet(f"{out}/data")
         # the tiny model scores web text mostly-OOV -> low_logprob drops
         assert dec.where("drop_reason like '%low_logprob%'").count() > 0
+
+
+MARKED_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-99\t<s>\t-0.5
+-1.0\tthe\t-0.30103
+-1.30103\tcat\t-0.30103
+-0.60206\t</s>
+-3.0\t<unk>
+
+\\2-grams:
+-0.30103\t<s> the
+-0.52288\tthe cat
+-0.39794\tcat </s>
+
+\\end\\
+"""
+
+
+class TestRound4ReviewFixes:
+    def test_sentence_markers_condition_scoring(self):
+        """KenLM score() semantics when the model carries <s>/</s>: first
+        token conditions on <s>, a final </s> event is scored, and the
+        denominator is tokens + 1; <s>'s -99 placeholder never enters."""
+        m = arpa.parse_arpa(MARKED_ARPA)
+        assert m.has_sentence_markers
+        # "the cat": p(the|<s>) + p(cat|the) + p(</s>|cat), / 3
+        want = (
+            (-0.30103 * LN10) + (-0.52288 * LN10) + (-0.39794 * LN10)
+        ) / 3.0
+        assert m.avg_logprob("the cat") == want
+        # markerless model unchanged: bare-unigram start, no </s> event
+        m0 = arpa.parse_arpa(TINY_ARPA)
+        assert not m0.has_sentence_markers
+
+    def test_space_delimited_format(self):
+        """Space-separated ARPA (no tabs) parses, including lines whose
+        trailing backoff field must not be folded into the n-gram."""
+        spaced = TINY_ARPA.replace("\t", " ")
+        m = arpa.parse_arpa(spaced)
+        assert m.ngrams[0][("the",)] == (-1.0 * LN10, -0.30103 * LN10)
+        assert m.ngrams[1][("the", "cat")] == (-0.30103 * LN10, 0.0)
+
+    def test_cased_model_loads_with_lowercase_fold(self):
+        """A model listing case-variant n-grams ('The' and 'the') must
+        load under lowercase=True — counts validate against parsed LINES,
+        the folded key keeps the higher probability."""
+        cased = TINY_ARPA.replace(
+            "-1.0\tthe\t-0.30103",
+            "-1.0\tthe\t-0.30103\n-0.5\tThe\t-0.30103",
+        ).replace("ngram 1=5", "ngram 1=6")
+        m = arpa.parse_arpa(cased)
+        assert m.ngrams[0][("the",)][0] == -0.5 * LN10  # higher prob won
+        # and lowercase=False keeps them distinct
+        m2 = arpa.parse_arpa(cased, lowercase=False)
+        assert m2.ngrams[0][("The",)][0] == -0.5 * LN10
+        assert m2.ngrams[0][("the",)][0] == -1.0 * LN10
+
+    def test_undeclared_section_raises_valueerror(self):
+        bad = TINY_ARPA.replace("\\2-grams:", "\\3-grams:").replace(
+            "ngram 2=3", ""
+        ).replace("-0.30103\tthe cat", "-0.30103\tthe cat x")
+        with pytest.raises(ValueError, match="not declared"):
+            arpa.parse_arpa(bad)
+
+    def test_file_parse_streams(self, tmp_path):
+        p = tmp_path / "m.arpa"
+        p.write_text(TINY_ARPA)
+        m = arpa.parse_arpa_file(str(p))
+        assert m.counts == (5, 3)
+
+    def test_broadcast_cached_and_closure_free(self, spark, model):
+        """One broadcast per (model, app); the UDF closure must not carry
+        the model itself (a GB model would otherwise ship per call)."""
+        sc = spark.sparkContext
+        if hasattr(model, "_bc_cache"):
+            del model._bc_cache
+        arpa.avg_logprob_pandas_udf(model, sc=sc)
+        first = model._bc_cache[1]
+        arpa.avg_logprob_pandas_udf(model, sc=sc)
+        assert model._bc_cache[1] is first  # reused, not re-broadcast
+        # the broadcast copy itself must not contain the cache attr
+        assert not hasattr(first.value, "_bc_cache")
