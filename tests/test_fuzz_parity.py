@@ -204,3 +204,56 @@ def test_fuzz_dedup_exact_corpus_matches_oracle(spark):
             ).fetchall()
         )
         assert got == want, f"{keep}: {len(got)} vs {len(want)}"
+
+
+def test_fuzz_dedup_exact_corpus_duplicate_ids(spark):
+    """Round-4 row-exact winner semantics under fuzz: ids REPEAT across
+    rows (dirty crawl), including same-id rows inside one normalized
+    group — the kept (id, text) multiset must match the SQL window
+    oracle for both keep policies."""
+    import hashlib
+    import random
+
+    from mysql_data_quality_spark.operators import dedup
+
+    rng = random.Random(777)
+    base = _gen_texts(80)
+    rows: list[tuple[int, str | None]] = []
+    for i, t in enumerate(base):
+        uid = rng.randint(0, 30)  # heavy id collisions on purpose
+        rows.append((uid, t))
+        r = rng.random()
+        if r < 0.3:  # same id, same normalized group, different raw text
+            rows.append((uid, "  " + (t or "").upper() + " "))
+        elif r < 0.45:  # different id, same text
+            rows.append((rng.randint(0, 30), t))
+        elif r < 0.55:  # same id, fully identical row
+            rows.append((uid, t))
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    con = duckdb.connect()
+    con.register(
+        "dirty_t", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+    def key(doc_id, text):
+        h = hashlib.md5((text or "").encode()).hexdigest()
+        return (doc_id, h)
+
+    for keep in ("min_id", "longest"):
+        got = sorted(
+            key(r["doc_id"], r["text"])
+            for r in dedup.dedup_exact_corpus(
+                df, "doc_id", "text", keep=keep
+            ).collect()
+        )
+        want = sorted(
+            key(a, b)
+            for a, b in con.sql(
+                "select doc_id, text from ("
+                + dedup.dedup_exact_corpus_sql(
+                    "dirty_t", "doc_id", "text", keep=keep
+                )
+                + ")"
+            ).fetchall()
+        )
+        assert got == want, f"{keep}: {len(got)} vs {len(want)}"
