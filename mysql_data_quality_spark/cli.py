@@ -334,6 +334,41 @@ def cmd_stream_filter(args) -> int:
         return 0
 
 
+def cmd_stream_metrics(args) -> int:
+    """Event-time windowed rule-hit metrics over a drop directory
+    (``availableNow``): tumbling windows on ``warc_ts`` with a watermark
+    for late pages, appended exactly-once to a parquet metrics table.
+    Same registry as the batch metrics, so columns match one-to-one."""
+    from mysql_data_quality_spark.core.config import load_dotenv, rules_from_env
+    from mysql_data_quality_spark.streaming.incremental import (
+        start_windowed_metrics_stream,
+    )
+
+    load_dotenv()
+    with _Session(args.cores) as spark:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                       "100000")
+        q = start_windowed_metrics_stream(
+            spark,
+            args.input_dir,
+            args.checkpoint,
+            window=args.window,
+            watermark=args.watermark,
+            sink_path=args.output,
+            rules=rules_from_env(),
+        )
+        q.awaitTermination()
+        n_windows = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "input_rows": sum(
+                p["numInputRows"] for p in q.recentProgress
+            ),
+            "metric_windows": n_windows,
+            "output": args.output,
+        }))
+        return 0
+
+
 def cmd_compact_history(args) -> int:
     """Maintenance for a ``filter --dedup-history`` hash history: fold all
     committed ``run=<id>`` dirs into one distinct-hash run (crash-safe:
@@ -456,6 +491,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dedup state backend (bloom = constant-size)")
     s.add_argument("--state-buckets", type=int, default=16)
     s.set_defaults(fn=cmd_stream_filter)
+
+    sm = sub.add_parser(
+        "stream-metrics",
+        help="event-time windowed rule-hit metrics over a drop directory",
+    )
+    sm.add_argument("--input-dir", required=True)
+    sm.add_argument("--output", required=True,
+                    help="parquet metrics table (window_start, per-rule "
+                    "counts)")
+    sm.add_argument("--checkpoint", required=True)
+    sm.add_argument("--window", default="1 hour")
+    sm.add_argument("--watermark", default="2 hours")
+    sm.set_defaults(fn=cmd_stream_metrics)
 
     ch = sub.add_parser(
         "compact-history",

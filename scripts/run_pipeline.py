@@ -57,6 +57,10 @@ def main() -> None:
                     "files newer than the --checkpoint are processed")
     ap.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir (required with --stream)")
+    ap.add_argument("--dedup-history", default=None, metavar="DIR",
+                    help="cross-run incremental dedup: drop documents "
+                    "whose text hash is in this history dir; commit this "
+                    "run's hashes after the write completes (batch only)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if args.stream and not (args.input and args.checkpoint):
@@ -100,12 +104,23 @@ def main() -> None:
         else:
             pages = P.read_pages(spark, args.documents)
 
-        if args.dedup:
+        if args.dedup and not args.dedup_history:
+            # skipped with --dedup-history: dedup_against_history runs
+            # the identical within-batch dedup internally
             from mysql_data_quality_spark.operators.dedup import (
                 dedup_exact_corpus,
             )
 
             pages = dedup_exact_corpus(pages, "url", "text")
+        if args.dedup_history:
+            from mysql_data_quality_spark.operators.dedup import (
+                dedup_against_history,
+            )
+
+            pages = dedup_against_history(
+                pages, "url", "text", args.dedup_history,
+                update_history=False, keep_hash_col=True,
+            )
         ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
         # rule-hit metrics ride the write pass via observe() — no second
         # pipeline execution (quality_filter.observe_metrics)
@@ -136,6 +151,15 @@ def main() -> None:
                 metrics, "pages", Path(args.output) / "reports"
             )
             out["report"] = str(report)
+        if args.dedup_history:
+            # write (or verified resume) complete -> commit this run's
+            # hashes from the pinned probe result (no input rescan)
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_history,
+            )
+
+            commit_history(pages, args.dedup_history)
+            out["history_dir"] = args.dedup_history
         print(json.dumps(out))
     finally:
         spark.stop()

@@ -462,3 +462,33 @@ class TestCliFilterHistory:
         import pathlib
 
         assert len(list(pathlib.Path(hist).glob("run=*"))) == 1
+
+
+class TestCliStreamMetrics:
+    def test_stream_metrics_e2e(self, spark, tmp_path, monkeypatch, capsys):
+        """stream-metrics CLI: windowed per-rule metrics land in the
+        parquet sink with the registry's column set; env rule overrides
+        apply like the batch path."""
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.rules import heuristics
+        from mysql_data_quality_spark import cli
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)  # no stray .env
+        pages = P.read_pages(spark, SF_SMOKE)
+        in_dir = str(tmp_path / "in")
+        pages.write.parquet(in_dir)
+        sink = str(tmp_path / "metrics")
+        rc = cli.main(
+            ["stream-metrics", "--input-dir", in_dir,
+             "--output", sink, "--checkpoint", str(tmp_path / "ck")]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["input_rows"] == pages.count()
+        assert stats["metric_windows"] >= 1
+        got = spark.read.parquet(sink).toPandas()
+        assert {"window_start", "_total", "_dropped"} | set(
+            heuristics.all_rule_severities()
+        ) <= set(got.columns)
+        assert got["_total"].sum() > 0
