@@ -769,9 +769,11 @@ def _simhash_pairs_docs(spark, sf_dir):
 
 
 def _repetition_features(spark, sf_dir):
-    """Gopher duplicate-line fraction.  The synthetic texts are single-line,
-    so the query first reshapes them into lines deterministically (literal
-    replace — identical in both engines) to exercise the non-zero path."""
+    """Gopher repetition family: duplicate-line, duplicate-paragraph, and
+    duplicate-2-gram fractions.  The synthetic texts are single-line, so
+    the query first reshapes them into lines/paragraphs deterministically
+    (literal replace — identical in both engines) to exercise the
+    non-zero paths."""
     from mysql_data_quality_spark.functions import text as T
 
     docs = _t(spark, sf_dir, "documents")
@@ -780,8 +782,14 @@ def _repetition_features(spark, sf_dir):
         F.lit(" value "),
         F.lit("\nvalue\n"),
     )
+    para = F.replace(F.col("text"), F.lit(" data "), F.lit("\n\ndata\n\n"))
     return docs.select(
-        "doc_id", T.dup_line_fraction_col(lined).alias("dup_line_fraction")
+        "doc_id",
+        T.dup_line_fraction_col(lined).alias("dup_line_fraction"),
+        T.dup_paragraph_fraction_col(para).alias("dup_paragraph_fraction"),
+        T.dup_ngram_fraction_col(
+            T.tokens_col(F.col("text")), 2
+        ).alias("dup_2gram_fraction"),
     )
 
 
@@ -792,10 +800,18 @@ def _repetition_features_sql() -> str:
         "replace(replace(text, ' table ', chr(10) || 'table' || chr(10)), "
         "' value ', chr(10) || 'value' || chr(10))"
     )
-    return (
-        f"select doc_id, {T.dup_line_fraction_sql(lined)} as "
-        "dup_line_fraction from documents"
+    para = (
+        "replace(text, ' data ', chr(10) || chr(10) || 'data' || "
+        "chr(10) || chr(10))"
     )
+    toks = T.tokens_sql("text")
+    return f"""
+select doc_id,
+       {T.dup_line_fraction_sql(lined)} as dup_line_fraction,
+       {T.dup_paragraph_fraction_sql(para)} as dup_paragraph_fraction,
+       {T.dup_ngram_fraction_sql(toks, 2)} as dup_2gram_fraction
+from documents
+"""
 
 
 def _top_ngram_stats(spark, sf_dir):
@@ -1075,6 +1091,40 @@ with corpus as (
     )
 
 
+def _c4_clean_docs(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020) as a transformation
+    query: per-url cleaned text (terminal-punct + >=3-word +
+    no-javascript lines kept) plus the kept-line fraction and the two
+    page predicates — the whole C4 rule family under hash compare."""
+    from mysql_data_quality_spark.functions import c4
+
+    t = F.col("text")
+    return _pages(spark, sf_dir).select(
+        "url",
+        c4.c4_clean_text_col(t).alias("c4_text"),
+        c4.c4_kept_line_fraction_col(t).alias("kept_frac"),
+        c4.lorem_ipsum_col(t).alias("has_lorem"),
+        c4.curly_brace_col(t).alias("has_curly"),
+    )
+
+
+def _c4_clean_docs_sql() -> str:
+    from mysql_data_quality_spark.functions import c4
+
+    return (
+        "with pages as ("
+        + P.pages_cte_sql()
+        + f""")
+select url,
+       {c4.c4_clean_text_sql('text')} as c4_text,
+       {c4.c4_kept_line_fraction_sql('text')} as kept_frac,
+       {c4.lorem_ipsum_sql('text')} as has_lorem,
+       {c4.curly_brace_sql('text')} as has_curly
+from pages
+"""
+    )
+
+
 # ===========================================================================
 
 
@@ -1085,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_decisions_arrow_udf": _qf_decisions_arrow,
         "qf_flat_hits": _qf_flat_hits,
         "qf_features": _qf_features,
+        "c4_clean_docs": _c4_clean_docs,
         "qf_rule_hit_totals": _qf_rule_hit_totals,
         "qf_keep_by_lang": _qf_keep_by_lang,
         "qf_dedup_pipeline": _qf_dedup_pipeline,
@@ -1143,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_decisions_arrow_udf": _PAGES_CTE + QF.decisions_sql("pages"),
         "qf_flat_hits": _PAGES_CTE + QF.flat_hits_sql("pages"),
         "qf_features": _qf_features_sql(),
+        "c4_clean_docs": _c4_clean_docs_sql(),
         "qf_rule_hit_totals": _qf_rule_hit_totals_sql(),
         "qf_keep_by_lang": _qf_keep_by_lang_sql(),
         "qf_dedup_pipeline": _qf_dedup_pipeline_sql(),

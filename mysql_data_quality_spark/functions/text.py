@@ -242,3 +242,88 @@ def dup_line_fraction_sql(text: str) -> str:
         f"cast(len(list_distinct({lines})) as double) / "
         f"cast(len({lines}) as double) else 0.0 end"
     )
+
+
+def paragraphs_col(text: Column) -> Column:
+    """Non-empty trimmed paragraphs (blank-line-separated blocks)."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n{2,}"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: F.length(p) > 0,
+    )
+
+
+def paragraphs_sql(text: str) -> str:
+    return (
+        f"list_filter(list_transform(regexp_split_to_array("
+        f"coalesce({text}, ''), '\\n{{2,}}'), p -> trim(p)), "
+        "p -> len(p) > 0)"
+    )
+
+
+def dup_paragraph_fraction_col(text: Column) -> Column:
+    """Fraction of paragraphs that repeat an earlier paragraph — the
+    Gopher duplicate-paragraph repetition signal (same shape as
+    :func:`dup_line_fraction_col`, one structural level up)."""
+    paras = paragraphs_col(text)
+    n = F.size(paras)
+    return F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(paras)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_paragraph_fraction_sql(text: str) -> str:
+    paras = paragraphs_sql(text)
+    return (
+        f"case when len({paras}) > 0 then 1.0 - "
+        f"cast(len(list_distinct({paras})) as double) / "
+        f"cast(len({paras}) as double) else 0.0 end"
+    )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings ([] when the doc has fewer
+    than n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(toks: str, n: int) -> str:
+    return (
+        f"case when len({toks}) >= {n} then "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        "else [] end"
+    )
+
+
+def dup_ngram_fraction_col(toks: Column, n: int) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram — the
+    Gopher duplicate-n-gram repetition family (1 - distinct/total, fixed
+    op order; 0.0 when the doc has fewer than n tokens)."""
+    grams = ngrams_col(toks, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_sql(toks: str, n: int) -> str:
+    grams = ngrams_sql(toks, n)
+    return (
+        f"case when len({grams}) > 0 then 1.0 - "
+        f"cast(len(list_distinct({grams})) as double) / "
+        f"cast(len({grams}) as double) else 0.0 end"
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from mysql_data_quality_spark.core.types import DROP_SEVERITIES, Severity
 from mysql_data_quality_spark.functions import text as T
+from mysql_data_quality_spark.functions import c4
 from mysql_data_quality_spark.rules import langid, perplexity, pii
 
 # ---------------------------------------------------------------------------
@@ -38,6 +39,11 @@ FEATURE_COLS = (
     "symbol_ratio",
     "digit_fraction",
     "dup_line_fraction",
+    "dup_paragraph_fraction",
+    "dup_2gram_fraction",
+    "c4_kept_line_fraction",
+    "has_lorem_ipsum",
+    "has_curly_brace",
     "det_lang",
     "avg_logp",
 )
@@ -66,6 +72,11 @@ def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "symbol_ratio": T.symbol_ratio_col(t, toks),
             "digit_fraction": T.digit_fraction_col(t),
             "dup_line_fraction": T.dup_line_fraction_col(t),
+            "dup_paragraph_fraction": T.dup_paragraph_fraction_col(t),
+            "dup_2gram_fraction": T.dup_ngram_fraction_col(toks, 2),
+            "c4_kept_line_fraction": c4.c4_kept_line_fraction_col(t),
+            "has_lorem_ipsum": c4.lorem_ipsum_col(t),
+            "has_curly_brace": c4.curly_brace_col(t),
             "det_lang": langid.detect_col(toks),
             "avg_logp": perplexity.avg_logprob_col(toks),
         }
@@ -86,6 +97,11 @@ def features_sql(text: str = "text") -> dict[str, str]:
         "symbol_ratio": T.symbol_ratio_sql(text, toks),
         "digit_fraction": T.digit_fraction_sql(text),
         "dup_line_fraction": T.dup_line_fraction_sql(text),
+        "dup_paragraph_fraction": T.dup_paragraph_fraction_sql(text),
+        "dup_2gram_fraction": T.dup_ngram_fraction_sql(toks, 2),
+        "c4_kept_line_fraction": c4.c4_kept_line_fraction_sql(text),
+        "has_lorem_ipsum": c4.lorem_ipsum_sql(text),
+        "has_curly_brace": c4.curly_brace_sql(text),
         "det_lang": langid.detect_sql(toks),
         "avg_logp": perplexity.avg_logprob_sql(toks),
     }
@@ -156,6 +172,19 @@ DEFAULT_RULES: tuple[HRule, ...] = (
     # rules tuple.
     HRule("line_repetition", Severity.ERROR, "dup_line_fraction", ">", 0.3,
           enabled=False),
+    # Gopher paragraph/n-gram repetition + C4 line/page rules — shipped
+    # DISABLED for the same golden-stability reason; enable via
+    # DQS_RULE_<NAME>_ENABLED=true or a custom rules tuple.
+    HRule("paragraph_repetition", Severity.ERROR,
+          "dup_paragraph_fraction", ">", 0.3, enabled=False),
+    HRule("ngram_repetition", Severity.ERROR,
+          "dup_2gram_fraction", ">", 0.5, enabled=False),
+    HRule("c4_line_quality", Severity.ERROR,
+          "c4_kept_line_fraction", "<", 0.3, enabled=False),
+    HRule("c4_lorem_ipsum", Severity.ERROR,
+          "has_lorem_ipsum", "==", True, enabled=False),
+    HRule("c4_curly_brace", Severity.WARNING,
+          "has_curly_brace", "==", True, enabled=False),
 )
 
 #: PII/toxicity rules (regex find-anywhere; blocklist drops, PII annotates

@@ -185,3 +185,109 @@ class TestMetricsAndReports:
         assert quality_score_band(71) == "FAIR"
         assert quality_score_band(51) == "POOR"
         assert quality_score_band(49) == "CRITICAL"
+
+
+class TestC4AndRepetition:
+    """Round-4 C4 line filter + Gopher paragraph/n-gram repetition."""
+    # NB: module-level T is pyspark.sql.types here; text helpers are
+    # imported per-method as TX, and F locally.
+
+    def test_c4_line_filter_vectors(self, spark):
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.functions import c4
+
+        rows = [
+            # kept: terminal punct + >=3 words, no 'javascript'
+            (1, "This line is fine.\nshort.\nNo terminal punct here\n"
+                "Please enable JavaScript now.\nAnother good line!"),
+            (2, "only fragments\nno punct"),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, text: string")
+        got = {
+            r["id"]: (r["clean"], r["frac"])
+            for r in df.select(
+                "id",
+                c4.c4_clean_text_col(F.col("text")).alias("clean"),
+                c4.c4_kept_line_fraction_col(F.col("text")).alias("frac"),
+            ).collect()
+        }
+        assert got[1] == (
+            "This line is fine.\nAnother good line!", 2.0 / 5.0
+        )
+        assert got[2] == ("", 0.0)
+        assert got[3] == ("", 0.0)   # '' not NULL — stable downstream
+        assert got[4] == ("", 0.0)
+
+    def test_c4_and_repetition_sql_parity(self, spark, duck):
+        """Hand-adversarial vectors must agree bit-exactly across engines
+        (quotes, tabs, unicode, repeated blocks)."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.functions import c4
+        from mysql_data_quality_spark.functions import text as TX
+
+        rows = [
+            (1, 'He said "stop".\n\nHe said "stop".\n\ncode { x } here'),
+            (2, "tab\tsep words.\nlorem IPSUM dolor.\nw w w w w w"),
+            (3, "über naïve line.\n\nüber naïve line.\n\nokay three words?"),
+            (4, "a b a b a b a b"),
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, text: string")
+        duck.register("c4_t", pd.DataFrame(rows, columns=["id", "text"]))
+        toks = TX.tokens_sql("text")
+        sdf = df.select(
+            "id",
+            c4.c4_clean_text_col(F.col("text")).alias("clean"),
+            c4.c4_kept_line_fraction_col(F.col("text")).alias("kept"),
+            c4.lorem_ipsum_col(F.col("text")).alias("lorem"),
+            c4.curly_brace_col(F.col("text")).alias("curly"),
+            TX.dup_paragraph_fraction_col(F.col("text")).alias("dp"),
+            TX.dup_ngram_fraction_col(TX.tokens_col(F.col("text")), 2).alias("d2"),
+        ).orderBy("id").collect()
+        odf = duck.sql(f"""
+            select id, {c4.c4_clean_text_sql('text')} as clean,
+                   {c4.c4_kept_line_fraction_sql('text')} as kept,
+                   {c4.lorem_ipsum_sql('text')} as lorem,
+                   {c4.curly_brace_sql('text')} as curly,
+                   {TX.dup_paragraph_fraction_sql('text')} as dp,
+                   {TX.dup_ngram_fraction_sql(toks, 2)} as d2
+            from c4_t order by id
+        """).fetchall()
+        for s, o in zip(sdf, odf):
+            assert (s["clean"], s["kept"], s["lorem"], s["curly"],
+                    s["dp"], s["d2"]) == tuple(o[1:]), s["id"]
+
+    def test_c4_rules_enabled_via_env(self, spark, monkeypatch):
+        """DQS_RULE_C4_*_ENABLED flips decisions; shipped defaults leave
+        golden labels untouched (rules disabled)."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.core.config import rules_from_env
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        rows = [
+            ("u1", "lorem ipsum dolor sit amet and much more text here.",
+             "en"),
+            ("u2", "This page is perfectly ordinary readable text with "
+                   "the usual words that pass every enabled rule easily.",
+             "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url: string, text: string, lang: string"
+        ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+            "html", F.lit(None).cast("binary")
+        )
+        base = {r["url"]: r["keep"] for r in QF.decisions(pages).collect()}
+        monkeypatch.setenv("DQS_RULE_C4_LOREM_IPSUM_ENABLED", "true")
+        rules = rules_from_env()
+        got = {
+            r["url"]: (r["keep"], r["drop_reason"])
+            for r in QF.decisions(pages, rules=rules).collect()
+        }
+        assert got["u1"][0] is False and "c4_lorem_ipsum" in got["u1"][1]
+        assert got["u2"][0] == base["u2"]  # untouched doc unchanged
