@@ -297,16 +297,13 @@ def cmd_stream_filter(args) -> int:
     bloom`` for constant-size state on unbounded crawls) before the rule
     plan — the streaming analogue of ``filter --dedup``."""
     from mysql_data_quality_spark.streaming.incremental import (
+        raise_progress_retention,
         start_filter_stream,
+        stream_input_rows,
     )
 
     with _Session(args.cores) as spark:
-        # recentProgress retains only the last N progress entries
-        # (default 100) — a large backlog split into more micro-batches
-        # than that would silently undercount the printed stats, so raise
-        # the retention well past any plausible availableNow tick
-        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-                       "100000")
+        raise_progress_retention(spark)
         q = start_filter_stream(
             spark,
             args.input_dir,
@@ -317,14 +314,11 @@ def cmd_stream_filter(args) -> int:
             n_state_buckets=args.state_buckets,
         )
         q.awaitTermination()
-        progress = q.recentProgress
-        n_rows = sum(p["numInputRows"] for p in progress)
+        n_rows, n_batches = stream_input_rows(q)
         print(
             json.dumps(
                 {
-                    "batches": sum(
-                        1 for p in progress if p["numInputRows"] > 0
-                    ),
+                    "batches": n_batches,
                     "input_rows": n_rows,
                     "output": args.output,
                     "checkpoint": args.checkpoint,
@@ -341,13 +335,14 @@ def cmd_stream_metrics(args) -> int:
     Same registry as the batch metrics, so columns match one-to-one."""
     from mysql_data_quality_spark.core.config import load_dotenv, rules_from_env
     from mysql_data_quality_spark.streaming.incremental import (
+        raise_progress_retention,
         start_windowed_metrics_stream,
+        stream_input_rows,
     )
 
     load_dotenv()
     with _Session(args.cores) as spark:
-        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-                       "100000")
+        raise_progress_retention(spark)
         q = start_windowed_metrics_stream(
             spark,
             args.input_dir,
@@ -358,11 +353,19 @@ def cmd_stream_metrics(args) -> int:
             rules=rules_from_env(),
         )
         q.awaitTermination()
-        n_windows = spark.read.parquet(args.output).count()
+        from pyspark.errors import AnalysisException
+
+        try:
+            n_windows = spark.read.parquet(args.output).count()
+        except AnalysisException:
+            # append mode emits a window only once the watermark passes
+            # it: a drop whose event times span less than the watermark
+            # horizon legitimately produces an empty sink (only the
+            # _spark_metadata log) — report 0, don't crash
+            n_windows = 0
+        n_rows, _ = stream_input_rows(q)
         print(json.dumps({
-            "input_rows": sum(
-                p["numInputRows"] for p in q.recentProgress
-            ),
+            "input_rows": n_rows,
             "metric_windows": n_windows,
             "output": args.output,
         }))

@@ -191,9 +191,14 @@ def rules_from_env(
         if r.op == "range":
             lo, _, hi = raw.partition(":")
             value: object = (float(lo), float(hi))
+        elif isinstance(r.value, bool):
+            # bool before int (bool IS an int): the C4 page predicates
+            # threshold on boolean features — float(raw) would crash on
+            # "false" and 1.0 would fail Spark analysis (r4 review)
+            value = raw.strip().lower() in _TRUTHY
         elif isinstance(r.value, str):
             value = raw
-        elif isinstance(r.value, int) and not isinstance(r.value, bool):
+        elif isinstance(r.value, int):
             value = int(raw)
         else:
             value = float(raw)

@@ -38,7 +38,11 @@ _LINE_WS = "[ \t\\x0B\f\r]+"  # intra-line whitespace (lines carry no \n)
 
 def _line_ok_col(line: Column) -> Column:
     last = F.substring(line, -1, 1)
-    n_words = F.size(F.split(line, _LINE_WS))
+    # filter empty tokens (the tokens_col contract): a leading tab/FF
+    # survives trim (spaces only) and would otherwise add a phantom word
+    n_words = F.size(
+        F.filter(F.split(line, _LINE_WS), lambda w: F.length(w) > 0)
+    )
     return (
         last.isin(*TERMINAL)
         & (n_words >= MIN_LINE_WORDS)
@@ -52,8 +56,8 @@ def _line_ok_sql(line: str) -> str:
     )
     return (
         f"(right({line}, 1) in ({quoted})"
-        f" and len(regexp_split_to_array({line}, '{_LINE_WS}'))"
-        f" >= {MIN_LINE_WORDS}"
+        f" and len(list_filter(regexp_split_to_array({line}, "
+        f"'{_LINE_WS}'), w -> len(w) > 0)) >= {MIN_LINE_WORDS}"
         f" and not contains(lower({line}), 'javascript'))"
     )
 

@@ -205,10 +205,14 @@ def digit_fraction_sql(text: str) -> str:
 # repetition features (Gopher-style duplicate-line fraction)
 # ---------------------------------------------------------------------------
 def lines_col(text: Column) -> Column:
-    """Non-empty trimmed lines of the document."""
+    """Non-empty trimmed lines of the document.  Splits on ``\\r?\\n`` so
+    CRLF web pages don't leave a trailing ``\\r`` on every line (trim
+    strips spaces only — r4 review: a stray CR failed the C4
+    terminal-punctuation check on every CRLF document)."""
     return F.filter(
         F.transform(
-            F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+            F.split(F.coalesce(text, F.lit("")), "\r?\n"),
+            lambda l: F.trim(l),
         ),
         lambda l: F.length(l) > 0,
     )
@@ -216,8 +220,9 @@ def lines_col(text: Column) -> Column:
 
 def lines_sql(text: str) -> str:
     return (
-        f"list_filter(list_transform(string_split(coalesce({text}, ''), "
-        "chr(10)), l -> trim(l)), l -> len(l) > 0)"
+        f"list_filter(list_transform(regexp_split_to_array("
+        f"coalesce({text}, ''), '\\r?\\n'), l -> trim(l)), "
+        "l -> len(l) > 0)"
     )
 
 
@@ -245,10 +250,11 @@ def dup_line_fraction_sql(text: str) -> str:
 
 
 def paragraphs_col(text: Column) -> Column:
-    """Non-empty trimmed paragraphs (blank-line-separated blocks)."""
+    """Non-empty trimmed paragraphs (blank-line-separated blocks; CRLF
+    blank lines count — see :func:`lines_col`)."""
     return F.filter(
         F.transform(
-            F.split(F.coalesce(text, F.lit("")), "\n{2,}"),
+            F.split(F.coalesce(text, F.lit("")), "(\r?\n){2,}"),
             lambda p: F.trim(p),
         ),
         lambda p: F.length(p) > 0,
@@ -258,7 +264,7 @@ def paragraphs_col(text: Column) -> Column:
 def paragraphs_sql(text: str) -> str:
     return (
         f"list_filter(list_transform(regexp_split_to_array("
-        f"coalesce({text}, ''), '\\n{{2,}}'), p -> trim(p)), "
+        f"coalesce({text}, ''), '(\\r?\\n){{2,}}'), p -> trim(p)), "
         "p -> len(p) > 0)"
     )
 

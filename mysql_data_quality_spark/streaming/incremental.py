@@ -172,3 +172,24 @@ def start_windowed_metrics_stream(
     else:
         writer = writer.format("memory").queryName(query_name)
     return writer.trigger(availableNow=True).start()
+
+
+def raise_progress_retention(spark: SparkSession) -> None:
+    """recentProgress retains only the last N progress entries (default
+    100) — a large backlog split into more micro-batches than that would
+    silently undercount post-run stats, so callers that report
+    ``sum(numInputRows)`` raise the retention well past any plausible
+    availableNow tick.  Call BEFORE ``start``."""
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", "100000"
+    )
+
+
+def stream_input_rows(query) -> tuple[int, int]:
+    """(total input rows, non-empty batches) from a finished query's
+    progress history — pair with :func:`raise_progress_retention`."""
+    progress = query.recentProgress
+    return (
+        sum(p["numInputRows"] for p in progress),
+        sum(1 for p in progress if p["numInputRows"] > 0),
+    )

@@ -65,6 +65,10 @@ def main() -> None:
     args = ap.parse_args()
     if args.stream and not (args.input and args.checkpoint):
         ap.error("--stream requires --input and --checkpoint")
+    if args.stream and args.dedup_history:
+        ap.error("--dedup-history is batch-only (a stream has no "
+                 "corpus-snapshot boundary to commit a history run at); "
+                 "use --dedup for stateful first-seen dedup instead")
 
     from mysql_data_quality_spark.core.session import get_spark
     from mysql_data_quality_spark.pipeline import pages as P
@@ -78,25 +82,21 @@ def main() -> None:
             # incremental deployment shape: same rule plan, file-source
             # checkpoint as the resume point (streaming/incremental.py)
             from mysql_data_quality_spark.streaming.incremental import (
+                raise_progress_retention,
                 start_filter_stream,
+                stream_input_rows,
             )
 
-            # keep every micro-batch's progress entry so the printed
-            # stats don't undercount large backlogs (default cap: 100)
-            spark.conf.set(
-                "spark.sql.streaming.numRecentProgressUpdates", "100000"
-            )
+            raise_progress_retention(spark)
             q = start_filter_stream(
                 spark, args.input, args.output, args.checkpoint,
                 dedup=args.dedup,
             )
             q.awaitTermination()
-            progress = q.recentProgress
+            n_rows, n_batches = stream_input_rows(q)
             print(json.dumps({
-                "input_rows": sum(p["numInputRows"] for p in progress),
-                "batches": sum(
-                    1 for p in progress if p["numInputRows"] > 0
-                ),
+                "input_rows": n_rows,
+                "batches": n_batches,
             }))
             return
         if args.input:

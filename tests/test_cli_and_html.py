@@ -492,3 +492,31 @@ class TestCliStreamMetrics:
             heuristics.all_rule_severities()
         ) <= set(got.columns)
         assert got["_total"].sum() > 0
+
+    def test_stream_metrics_empty_sink_reports_zero(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """r4 review: a drop whose event times all sit within the
+        watermark horizon finalizes no window — the command must report
+        metric_windows: 0, not crash on the empty parquet sink."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        pages = P.read_pages(spark, SF_SMOKE).limit(20).withColumn(
+            "warc_ts", F.to_timestamp(F.lit("2026-01-01 00:10:00"))
+        )
+        in_dir = str(tmp_path / "in")
+        pages.write.parquet(in_dir)
+        sink = str(tmp_path / "metrics")
+        rc = cli.main(
+            ["stream-metrics", "--input-dir", in_dir, "--output", sink,
+             "--checkpoint", str(tmp_path / "ck")]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["metric_windows"] == 0
+        assert stats["input_rows"] == 20

@@ -291,3 +291,59 @@ class TestC4AndRepetition:
         }
         assert got["u1"][0] is False and "c4_lorem_ipsum" in got["u1"][1]
         assert got["u2"][0] == base["u2"]  # untouched doc unchanged
+
+    def test_c4_crlf_and_leading_tab(self, spark, duck):
+        """r4 review: CRLF pages must not lose every line to a trailing
+        \\r, and a leading tab must not fabricate a third word."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.functions import c4
+        from mysql_data_quality_spark.functions import text as TX
+
+        rows = [
+            (1, "One good line here.\r\nAnother good line.\r\n"),
+            (2, "para one text.\r\n\r\npara one text.\r\n\r\npara two."),
+            (3, "\tHi there."),          # 2 words: must NOT pass >=3
+            (4, "\tHi right there."),    # 3 words: passes
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, text: string")
+        got = {
+            r["id"]: (r["clean"], r["kept"], r["dp"])
+            for r in df.select(
+                "id",
+                c4.c4_clean_text_col(F.col("text")).alias("clean"),
+                c4.c4_kept_line_fraction_col(F.col("text")).alias("kept"),
+                TX.dup_paragraph_fraction_col(F.col("text")).alias("dp"),
+            ).collect()
+        }
+        assert got[1] == (
+            "One good line here.\nAnother good line.", 1.0, 0.0
+        )
+        assert got[2][2] == pytest.approx(1.0 / 3.0)  # CRLF paras split
+        assert got[3][:2] == ("", 0.0)
+        # content keeps its tab (trim strips spaces only); the WORD COUNT
+        # is what must ignore the empty leading token
+        assert got[4][:2] == ("\tHi right there.", 1.0)
+        # both engines still agree bit-exactly on the CRLF vectors
+        duck.register("crlf_t", pd.DataFrame(rows, columns=["id", "text"]))
+        oracle = duck.sql(f"""
+            select id, {c4.c4_clean_text_sql('text')},
+                   {c4.c4_kept_line_fraction_sql('text')},
+                   {TX.dup_paragraph_fraction_sql('text')}
+            from crlf_t order by id""").fetchall()
+        for row in oracle:
+            assert got[row[0]] == tuple(row[1:]), row[0]
+
+    def test_c4_bool_rule_value_override_env(self, monkeypatch):
+        """r4 review: bool-valued rules must take DQS_RULE_<NAME>=false
+        style value overrides without float() crashes."""
+        from mysql_data_quality_spark.core.config import rules_from_env
+
+        monkeypatch.setenv("DQS_RULE_C4_LOREM_IPSUM", "false")
+        rules = {r.name: r for r in rules_from_env()}
+        assert rules["c4_lorem_ipsum"].value is False
+        monkeypatch.setenv("DQS_RULE_C4_LOREM_IPSUM", "true")
+        rules = {r.name: r for r in rules_from_env()}
+        assert rules["c4_lorem_ipsum"].value is True
