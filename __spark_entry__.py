@@ -1125,6 +1125,45 @@ from pages
     )
 
 
+def _token_length_histogram(spark, sf_dir):
+    """Corpus-budgeting histogram: docs/tokens per fixed length band
+    (fixed integer bucket edges keep it oracle-exact — quantile sketches
+    are engine-specific)."""
+    return textstats.token_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+def _token_length_histogram_sql() -> str:
+    return textstats.token_length_histogram_sql("documents")
+
+
+def _domain_stats(spark, sf_dir):
+    """Per-site corpus profile over the pages table — two-phase salted
+    on the domain (the canonical web-crawl skew axis); identical result
+    to the direct groupBy the oracle runs."""
+    from mysql_data_quality_spark.operators import skew
+
+    return skew.domain_stats(_pages(spark, sf_dir))
+
+
+def _domain_stats_sql() -> str:
+    from mysql_data_quality_spark.operators.skew import domain_stats_sql
+
+    return (
+        "with pages as (" + P.pages_cte_sql() + ") "
+        + domain_stats_sql("pages")
+    )
+
+
+def _fingerprint_dup_pairs(spark, sf_dir):
+    """Cross-document repeated-substring pairs via shared winnowing
+    fingerprints (xxhash64 is engine-specific — rows-only check; the
+    local-match guarantee and pair semantics are pytest-pinned)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint_duplicate_pairs(
+        docs, "doc_id", "text", k=8, w=8, min_shared=3
+    )
+
+
 # ===========================================================================
 
 
@@ -1136,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_flat_hits": _qf_flat_hits,
         "qf_features": _qf_features,
         "c4_clean_docs": _c4_clean_docs,
+        "token_length_histogram": _token_length_histogram,
+        "domain_stats": _domain_stats,
+        "fingerprint_dup_pairs": _fingerprint_dup_pairs,
         "qf_rule_hit_totals": _qf_rule_hit_totals,
         "qf_keep_by_lang": _qf_keep_by_lang,
         "qf_dedup_pipeline": _qf_dedup_pipeline,
@@ -1195,6 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_flat_hits": _PAGES_CTE + QF.flat_hits_sql("pages"),
         "qf_features": _qf_features_sql(),
         "c4_clean_docs": _c4_clean_docs_sql(),
+        "token_length_histogram": _token_length_histogram_sql(),
+        "domain_stats": _domain_stats_sql(),
         "qf_rule_hit_totals": _qf_rule_hit_totals_sql(),
         "qf_keep_by_lang": _qf_keep_by_lang_sql(),
         "qf_dedup_pipeline": _qf_dedup_pipeline_sql(),

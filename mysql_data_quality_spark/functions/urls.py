@@ -69,3 +69,19 @@ def canonical_url_sql(url: str) -> str:
     )
     tail = f"regexp_replace(regexp_replace({u}, '{_HOST_RE}', ''), '/$', '')"
     return f"({head} || {tail})"
+
+
+def url_host_col(url: Column) -> Column:
+    """Registered host of an absolute URL (lowercased, port stripped) —
+    the domain key for per-site aggregation and skew salting.  '' for
+    strings without a scheme://host prefix."""
+    host = F.regexp_extract(F.coalesce(url, F.lit("")),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+    return F.lower(host)
+
+
+def url_host_sql(url: str) -> str:
+    return (
+        f"lower(coalesce(regexp_extract(coalesce({url}, ''), "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), ''))"
+    )

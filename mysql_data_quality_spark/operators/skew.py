@@ -50,3 +50,50 @@ def salted_group_count(
     return partial.groupBy(group_col).agg(
         F.sum("partial_n").alias("n_rows")
     )
+
+
+def domain_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    n_salts: int = 8,
+) -> DataFrame:
+    """(domain, n_docs, total_chars): per-site corpus profile — the
+    first report a crawl-pipeline operator pulls (which sites dominate,
+    where the bytes are).  Domains are the canonical skew axis of web
+    data (a few hosts carry a large share of 10^12 pages), so the
+    aggregation is two-phase salted like :func:`salted_group_count`:
+    partials per (domain, salt) first, so one mega-site cannot pin a
+    single reducer.  Deterministic salt (pure row function) — results
+    identical to a direct groupBy, which is what the SQL oracle runs."""
+    from mysql_data_quality_spark.functions.urls import url_host_col
+
+    keyed = with_salt(
+        pages.select(
+            url_host_col(F.col(url_col)).alias("domain"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
+            F.col(url_col).alias("_k"),
+        ),
+        "_k",
+        n_salts,
+    )
+    partial = keyed.groupBy("domain", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_chars").alias("_c")
+    )
+    return partial.groupBy("domain").agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_c").alias("total_chars"),
+    )
+
+
+def domain_stats_sql(rel: str, url_col: str = "url",
+                     text_col: str = "text") -> str:
+    from mysql_data_quality_spark.functions.urls import url_host_sql
+
+    return f"""
+select {url_host_sql(url_col)} as domain,
+       count(*) as n_docs,
+       cast(sum(length(coalesce({text_col}, ''))) as bigint) as total_chars
+from {rel}
+group by 1
+"""

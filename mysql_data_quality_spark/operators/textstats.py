@@ -162,27 +162,38 @@ from per_gram group by doc_id
 # identical sets — the local-fingerprinting property plain md5/minhash
 # doesn't give (md5 breaks on 1-char edits; minhash is global).
 # ---------------------------------------------------------------------------
-def winnowing_fingerprints_col(
-    text: Column, k: int = 5, w: int = 4
-) -> Column:
-    """array<bigint>: sorted distinct window-minimum k-gram hashes.
-
-    All JVM Column math: substring k-grams, one xxhash64 per gram, window
-    minima via slice+array_min.  Whitespace is collapsed and case folded
-    first so formatting edits don't shift every gram.
-    """
+def _winnowing_grams_col(text: Column, k: int) -> Column:
+    """array<bigint>: one xxhash64 per k-char gram of the normalized
+    text.  Whitespace is collapsed and case folded first so formatting
+    edits don't shift every gram."""
     from mysql_data_quality_spark.operators.dedup import normalized_text_col
 
     norm = normalized_text_col(text)
     n = F.length(norm)
     # NB: F.sequence(1, stop) counts DOWN when stop < 1, so gate on n >= k
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
             lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _winnowing_mins_col(grams: Column, w: int) -> Column:
+    """Window minima over an ALREADY-MATERIALIZED grams column.
+
+    ``grams`` MUST be an attribute reference (a column computed by a
+    previous projection), never the gram-building expression itself: a
+    higher-order-function lambda re-evaluates every subexpression of its
+    body PER ELEMENT, so inlining the gram builder here turns O(n·w)
+    window minima into O(n²·k) re-hashing — measured 515s -> 6s on 500
+    sf0.01 docs when the build was split out (r4).  The two-projection
+    split in :func:`winnowing_fingerprints` also survives Catalyst's
+    CollapseProject: the grams alias is referenced several times below
+    and the builder is not cheap, which is exactly the case the
+    optimizer refuses to inline.
+    """
     n_grams = F.size(grams)
     mins = F.when(
         n_grams >= w,
@@ -198,13 +209,160 @@ def winnowing_fingerprints_col(
     return F.array_sort(F.array_distinct(mins))
 
 
+def winnowing_fingerprints_col(
+    text: Column, k: int = 5, w: int = 4
+) -> Column:
+    """array<bigint>: sorted distinct window-minimum k-gram hashes as ONE
+    Column expression.
+
+    .. warning:: single-expression form = the gram builder sits inside
+       the window lambda and is re-evaluated per window (O(n²·k)).  Fine
+       for short strings / tests; for DataFrame-scale work ALWAYS use
+       :func:`winnowing_fingerprints`, which materializes the grams in
+       their own projection first (measured 86x faster).
+    """
+    return _winnowing_mins_col(_winnowing_grams_col(text, k), w)
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:
-    """(doc_id, fingerprints: array<bigint>) per document."""
-    return df.select(
+    """(doc_id, fingerprints: array<bigint>) per document — bit-identical
+    to :func:`winnowing_fingerprints_col` but computed as a WINDOWED
+    AGGREGATE over exploded gram rows instead of nested array lambdas.
+
+    Why: a higher-order-function lambda re-evaluates its body per
+    element, and Catalyst freely inlines the gram-building expression
+    into the window lambda (measured: 487s for 500 sf0.01 docs — O(n²·k)
+    re-hashing).  Exploding to (doc_id, pos, hash) rows and taking
+    ``min() OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW
+    AND w-1 FOLLOWING)`` is the plan Spark executes well: grams hash
+    once, one shuffle+sort by doc, O(n) running minima — 6s on the same
+    input.  Short docs (< w grams) take a single window over whatever
+    grams exist; empty docs keep an empty fingerprint array (outer
+    explode)."""
+    from pyspark.sql.window import Window
+
+    grams = df.select(
         F.col(id_col).alias("doc_id"),
-        winnowing_fingerprints_col(F.col(text_col), k, w).alias(
-            "fingerprints"
-        ),
+        _winnowing_grams_col(F.col(text_col), k).alias("_g"),
     )
+    rows = grams.select(
+        "doc_id",
+        F.size("_g").alias("_n"),
+        F.posexplode_outer("_g").alias("pos", "h"),
+    )
+    spec = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    mins = rows.withColumn("m", F.min("h").over(spec)).where(
+        (F.col("pos") <= F.col("_n") - w)
+        | ((F.col("_n") < w) & (F.col("pos") == 0))
+        | F.col("pos").isNull()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("m"))).alias(
+            "fingerprints"
+        )
+    )
+
+
+def fingerprint_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fingerprint_df: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fingerprints): document pairs sharing at
+    least ``min_shared`` winnowing fingerprints — cross-document repeated
+    SUBSTRING detection (the practical Spark shape of suffix-array
+    training-data dedup: winnowing guarantees any shared run of
+    ``k + w - 1`` normalized chars shares a fingerprint, so documents
+    with substantial copied passages collide here even when their full
+    texts are nothing alike — the case text-level exact/MinHash dedup
+    misses).
+
+    Plan shape (the near-dup discipline): explode to (fingerprint,
+    doc_id) pairs — ids only, text never rides the join — self-join per
+    fingerprint, count shared prints per pair.  ``max_fingerprint_df``
+    drops fingerprints appearing in more than that many documents
+    (boilerplate runs shared by half the crawl would otherwise square
+    into the pair list — same hot-key cap as the shingle/minhash path,
+    via a groupBy + broadcast anti join).
+    """
+    prints = (
+        winnowing_fingerprints(df, id_col, text_col, k, w)
+        .select("doc_id", F.explode("fingerprints").alias("fp"))
+    )
+    if max_fingerprint_df is not None:
+        hot = (
+            prints.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fingerprint_df)
+            .select("fp")
+        )
+        prints = prints.join(F.broadcast(hot), on="fp", how="left_anti")
+    a = prints.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = prints.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on="fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bounds: tuple = (0, 100, 1000, 10000),
+) -> DataFrame:
+    """(bucket, n_docs, total_tokens): whitespace-token-count histogram
+    over fixed bucket bounds — the corpus-budgeting view a training run
+    starts from (how many docs/tokens land in each length band).
+    Fixed integer bucket edges keep it oracle-exact (quantile sketches
+    are engine-specific); one map-side-combining aggregation.  Tokenizer
+    is the shared WS class (functions.text) — Java's \s and RE2's \s
+    disagree on vertical tab, so the raw regex would break parity."""
+    from mysql_data_quality_spark.functions.text import tokens_col
+
+    n = F.size(tokens_col(F.col(text_col)))
+    bucket = F.lit(f">={bounds[-1]}")
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        bucket = F.when(
+            (n >= lo) & (n < hi), F.lit(f"{lo}-{hi}")
+        ).otherwise(bucket)
+    return (
+        df.select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+
+
+def token_length_histogram_sql(
+    rel: str, text_col: str = "text", bounds: tuple = (0, 100, 1000, 10000)
+) -> str:
+    from mysql_data_quality_spark.functions.text import tokens_sql
+
+    n = f"len({tokens_sql(text_col)})"
+    case = f"'>={bounds[-1]}'"
+    whens = "".join(
+        f"when {n} >= {lo} and {n} < {hi} then '{lo}-{hi}' "
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    )
+    return f"""
+select case {whens}else {case} end as bucket,
+       count(*) as n_docs,
+       cast(sum({n}) as bigint) as total_tokens
+from {rel}
+group by 1
+"""

@@ -1180,3 +1180,47 @@ class TestWinnowing:
         assert len(fps[1] & fps[2]) > 0
         overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
         assert overlap > 0.4  # most of the shared prefix survives
+
+
+class TestFingerprintPairs:
+    def test_copied_passage_detected(self, spark):
+        """Docs sharing a long copied passage (but otherwise unrelated)
+        must pair; fully unrelated docs must not — the substring-level
+        dedup case text-level exact/MinHash misses."""
+        passage = (
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning without fail"
+        )
+        rows = [
+            (1, "Completely original intro. " + passage + " And an ending."),
+            (2, passage + " Totally different commentary follows here."),
+            (3, "Nothing in common with the others at all, none."),
+            (4, "Another unrelated document about parquet and shuffles."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in textstats.fingerprint_duplicate_pairs(
+                df, "doc_id", "text", k=8, w=8, min_shared=3
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p and 4 not in p for p in pairs)
+
+    def test_hot_fingerprint_cap(self, spark):
+        """Fingerprints shared by more than max_fingerprint_df docs are
+        dropped before the pair join (boilerplate suppression) — with the
+        cap below the boilerplate's document frequency, boilerplate-only
+        pairs disappear."""
+        boiler = "copyright footer all rights reserved contact us today"
+        rows = [(i, f"unique body {i} {i * 7} " + boiler) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        uncapped = textstats.fingerprint_duplicate_pairs(
+            df, "doc_id", "text", k=8, w=8, min_shared=2,
+            max_fingerprint_df=None,
+        ).count()
+        capped = textstats.fingerprint_duplicate_pairs(
+            df, "doc_id", "text", k=8, w=8, min_shared=2,
+            max_fingerprint_df=5,
+        ).count()
+        assert uncapped > 0 and capped == 0
