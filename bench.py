@@ -265,6 +265,26 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     for name, fn in heavy[rot:] + heavy[:rot]:
         clock(name, fn)
 
+    # winnowing fingerprints + substring-pair generation over the raw
+    # documents (rewritten r4: windowed aggregate over exploded grams —
+    # the array-lambda form re-hashed O(n^2) per doc)
+    from mysql_data_quality_spark.operators import textstats
+
+    clock(
+        "winnowing_fingerprints",
+        lambda: _force(
+            textstats.winnowing_fingerprints(docs_raw, "doc_id", "text")
+        ),
+    )
+    clock(
+        "fingerprint_dup_pairs",
+        lambda: _force(
+            textstats.fingerprint_duplicate_pairs(
+                docs_raw, "doc_id", "text", k=8, w=8, min_shared=3
+            )
+        ),
+    )
+
     # duplicate clustering over an ADVERSARIAL chain component — diameter
     # == n is the worst case for propagation-style connected components
     # (O(n) rounds); the star contraction does it in O(log n) rounds
