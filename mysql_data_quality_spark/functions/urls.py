@@ -71,17 +71,28 @@ def canonical_url_sql(url: str) -> str:
     return f"({head} || {tail})"
 
 
+#: host of an absolute URL: optional userinfo skipped (user:pass@),
+#: bracketed IPv6 literal or reg-name captured, port excluded
+_DOMAIN_HOST_RE = (
+    r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
+    r"(\[[^\]]+\]|[^/?#:@\[]+)"
+)
+
+
 def url_host_col(url: Column) -> Column:
-    """Registered host of an absolute URL (lowercased, port stripped) —
-    the domain key for per-site aggregation and skew salting.  '' for
-    strings without a scheme://host prefix."""
-    host = F.regexp_extract(F.coalesce(url, F.lit("")),
-                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
-    return F.lower(host)
+    """Registered host of an absolute URL (lowercased, port stripped,
+    userinfo skipped, IPv6 literals kept whole) — the domain key for
+    per-site aggregation and skew salting.  '' for strings without a
+    scheme://host prefix."""
+    return F.lower(
+        F.regexp_extract(F.coalesce(url, F.lit("")), _DOMAIN_HOST_RE, 1)
+    )
 
 
 def url_host_sql(url: str) -> str:
+    # raw pattern embeds directly: no quotes inside, and DuckDB treats
+    # backslashes in single-quoted strings literally (RE2 sees \[ \])
     return (
         f"lower(coalesce(regexp_extract(coalesce({url}, ''), "
-        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), ''))"
+        f"'{_DOMAIN_HOST_RE}', 1), ''))"
     )

@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 
 
 def domain_col(url: Column) -> Column:
-    """https://{domain}/... -> domain (pure string ops, codegen-friendly)."""
-    return F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    """https://{domain}/... -> domain — alias of
+    :func:`mysql_data_quality_spark.functions.urls.url_host_col` so the
+    repo has ONE domain extractor (lowercased, port stripped, userinfo
+    skipped); two subtly-different keys would silently split sites
+    across salting and stats (r4 review)."""
+    from mysql_data_quality_spark.functions.urls import url_host_col
+
+    return url_host_col(url)
 
 
 def with_salt(
@@ -56,33 +62,30 @@ def domain_stats(
     pages: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
-    n_salts: int = 8,
 ) -> DataFrame:
     """(domain, n_docs, total_chars): per-site corpus profile — the
     first report a crawl-pipeline operator pulls (which sites dominate,
-    where the bytes are).  Domains are the canonical skew axis of web
-    data (a few hosts carry a large share of 10^12 pages), so the
-    aggregation is two-phase salted like :func:`salted_group_count`:
-    partials per (domain, salt) first, so one mega-site cannot pin a
-    single reducer.  Deterministic salt (pure row function) — results
-    identical to a direct groupBy, which is what the SQL oracle runs."""
+    where the bytes are).
+
+    Deliberately a PLAIN groupBy, not a salted two-phase: count/sum are
+    map-combinable, so hash aggregation ships at most one partial row
+    per (domain, map task) into the reducer — a hot domain cannot pin a
+    reducer and salting would only add a second shuffle for identical
+    output (r4 review).  Salting earns its keep for NON-combinable
+    aggregates (collect_list/exact-distinct) — that path is
+    :func:`salted_group_count`/:func:`with_salt`."""
     from mysql_data_quality_spark.functions.urls import url_host_col
 
-    keyed = with_salt(
+    return (
         pages.select(
             url_host_col(F.col(url_col)).alias("domain"),
             F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
-            F.col(url_col).alias("_k"),
-        ),
-        "_k",
-        n_salts,
-    )
-    partial = keyed.groupBy("domain", "_salt").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_chars").alias("_c")
-    )
-    return partial.groupBy("domain").agg(
-        F.sum("_n").alias("n_docs"),
-        F.sum("_c").alias("total_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+        )
     )
 
 
