@@ -187,12 +187,13 @@ def _winnowing_mins_col(grams: Column, w: int) -> Column:
     previous projection), never the gram-building expression itself: a
     higher-order-function lambda re-evaluates every subexpression of its
     body PER ELEMENT, so inlining the gram builder here turns O(n·w)
-    window minima into O(n²·k) re-hashing — measured 515s -> 6s on 500
-    sf0.01 docs when the build was split out (r4).  The two-projection
-    split in :func:`winnowing_fingerprints` also survives Catalyst's
-    CollapseProject: the grams alias is referenced several times below
-    and the builder is not cheap, which is exactly the case the
-    optimizer refuses to inline.
+    window minima into O(n²·k) re-hashing.  NOTE a two-projection split
+    is NOT a reliable guard — Catalyst's CollapseProject re-inlined the
+    builder under an explode consumer (measured: still 487s) — which is
+    why :func:`winnowing_fingerprints` abandons array lambdas entirely
+    for an exploded-rows windowed aggregate.  This helper remains only
+    as part of the executable single-expression spec
+    (:func:`winnowing_fingerprints_col`).
     """
     n_grams = F.size(grams)
     mins = F.when(
