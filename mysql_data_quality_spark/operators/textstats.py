@@ -343,8 +343,9 @@ def token_length_histogram(
     starts from (how many docs/tokens land in each length band).
     Fixed integer bucket edges keep it oracle-exact (quantile sketches
     are engine-specific); one map-side-combining aggregation.  Tokenizer
-    is the shared WS class (functions.text) — Java's \s and RE2's \s
-    disagree on vertical tab, so the raw regex would break parity."""
+    is the shared WS class (functions.text) — Java's ``\\s`` and RE2's
+    ``\\s`` disagree on vertical tab, so the raw regex would break
+    parity."""
     from mysql_data_quality_spark.functions.text import tokens_col
 
     n = F.size(tokens_col(F.col(text_col)))
