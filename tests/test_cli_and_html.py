@@ -54,6 +54,18 @@ class TestCli:
         assert a.command == "filter"
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--output", "/o"])  # missing source
+        a = p.parse_args(["stream-filter", "--input-dir", "/i",
+                          "--output", "/o", "--checkpoint", "/c",
+                          "--dedup", "--state", "bloom"])
+        assert a.command == "stream-filter" and a.state == "bloom"
+        a = p.parse_args(["stream-metrics", "--input-dir", "/i",
+                          "--output", "/o", "--checkpoint", "/c"])
+        assert a.command == "stream-metrics" and a.window == "1 hour"
+        a = p.parse_args(["compact-history", "/h"])
+        assert a.command == "compact-history" and a.history_dir == "/h"
+        a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--dedup-history", "/h", "--arpa-model", "/m"])
+        assert a.dedup_history == "/h" and a.arpa_model == "/m"
 
     def test_validate_command(self, spark, tmp_path, capsys):
         # reuses the session via getOrCreate inside the command
