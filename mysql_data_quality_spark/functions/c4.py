@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 
 from mysql_data_quality_spark.functions.text import lines_col, lines_sql
 
-#: terminal punctuation per C4 (ASCII sentence enders + closing quotes)
-TERMINAL = (".", "!", "?", '"', "'")
+#: terminal punctuation per C4: period, exclamation mark, question mark,
+#: and the end quotation mark — exactly the published rule set (Raffel et
+#: al. 2020 §2.2).  A bare apostrophe is NOT a C4 end mark (r4 ADVICE):
+#: lines ending in ' are dropped, matching the published behavior.
+TERMINAL = (".", "!", "?", '"')
 MIN_LINE_WORDS = 3
 
 _LINE_WS = "[ \t\\x0B\f\r]+"  # intra-line whitespace (lines carry no \n)

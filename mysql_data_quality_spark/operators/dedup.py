@@ -830,6 +830,58 @@ where k._rn = 1
 """
 
 
+def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
+    """Fold a pre-``run=<id>`` FLAT history layout (root-level parquet
+    part files) into one ``run=legacy-<id>`` partition directory.
+
+    Why this must exist (r4 ADVICE, medium): a history written by the
+    flat-layout version, once appended to by the partitioned version,
+    mixes root-level data files with ``run=`` dirs — and Spark's
+    partition discovery then silently returns ONLY the ``run=`` rows,
+    so every pre-upgrade hash is forgotten and previously-seen
+    documents re-emit as fresh (the silent-re-emit failure class the
+    surrounding error handling guards against).  Folding happens
+    automatically on the first probe/compaction against a legacy dir.
+
+    Crash safety: root files are renamed one-by-one into a hidden
+    ``_tmp-legacy-*`` staging dir (invisible to readers), which is then
+    atomically renamed to ``run=legacy-*``.  A crash mid-fold leaves
+    some root files + a hidden staging dir; the next call folds the
+    remainder into a second legacy run — hashes split across runs are
+    equivalent to the anti-join probe.  A crash between staging and the
+    final rename leaves those hashes invisible, so that batch's docs
+    re-emit and dedup downstream — at-least-once, never silent loss.
+
+    Returns True if anything was folded."""
+    import uuid
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(history_dir)):
+        return False
+    legacy_files = [
+        status.getPath()
+        for status in fs.listStatus(hpath(history_dir))
+        if status.isFile()
+        and not status.getPath().getName().startswith(("_", "."))
+    ]
+    if not legacy_files:
+        return False
+    fold_id = f"legacy-{uuid.uuid4().hex[:12]}"
+    staging = hpath(f"{history_dir}/_tmp-{fold_id}")
+    fs.mkdirs(staging)
+    for p in legacy_files:
+        if not fs.rename(p, hpath(f"{history_dir}/_tmp-{fold_id}/{p.getName()}")):
+            raise IOError(f"legacy-history fold: rename failed for {p}")
+    final = hpath(f"{history_dir}/run={fold_id}")
+    if not fs.rename(staging, final):
+        raise IOError(
+            f"legacy-history fold: rename failed: {staging} -> {final}"
+        )
+    return True
+
+
 def _commit_history_run(
     fresh: DataFrame, history_dir: str, run_id: str | None = None
 ) -> None:
@@ -926,6 +978,9 @@ def dedup_against_history(
 
     if pin not in ("localCheckpoint", "disk"):
         raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
+    # a pre-partitioned-layout (flat) history would be silently shadowed
+    # by partition discovery once run= dirs exist — fold it first
+    _fold_legacy_layout(spark, history_dir)
     try:
         hist = spark.read.parquet(history_dir).select("text_md5")
         have_history = True
@@ -991,6 +1046,7 @@ def compact_history(spark: SparkSession, history_dir: str) -> int:
     fs0 = hpath0(history_dir).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    _fold_legacy_layout(spark, history_dir)  # flat pre-upgrade layout
     try:
         distinct = (
             spark.read.parquet(history_dir).select("text_md5").distinct()

@@ -243,26 +243,41 @@ def winnowing_fingerprints(
     (< w grams) take a single window over whatever grams exist; empty
     docs keep an empty fingerprint array (outer explode).
 
-    The window partitions on a per-ROW id, not ``id_col``: duplicate
-    ids (dirty crawl) would otherwise interleave two texts' grams in
-    one window frame and merge them into a garbage fingerprint row —
-    each input row gets its own fingerprint row, like the per-row
-    Column form."""
+    The window partitions on a DETERMINISTIC per-document key, not
+    ``id_col`` alone: duplicate ids (dirty crawl) would otherwise
+    interleave two texts' grams in one window frame and merge them into
+    a garbage fingerprint row.  The key is ``(xxhash64(id, text), id)``
+    computed AFTER collapsing exact-duplicate (id, text) rows with a
+    counting groupBy — so (a) a stage retry after a fetch failure
+    regroups identically (``monotonically_increasing_id`` would
+    reassign row ids on recompute and could merge two rows' grams — r4
+    ADVICE), (b) exact-duplicate rows winnow ONCE instead of per copy,
+    and (c) the output still carries one fingerprint row per input row
+    (re-expanded by the stored multiplicity), like the per-row Column
+    form.  The pre-groupBy shuffles text once; that is cheaper than the
+    gram-row shuffle that follows (8 bytes per character vs 1)."""
     from pyspark.sql.window import Window
 
-    grams = df.select(
-        F.monotonically_increasing_id().alias("_row"),
-        F.col(id_col).alias("doc_id"),
-        _winnowing_grams_col(F.col(text_col), k).alias("_g"),
+    uniq = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_mult"))
+    )
+    grams = uniq.select(
+        F.xxhash64("doc_id", "_t").alias("_row"),
+        "doc_id",
+        "_mult",
+        _winnowing_grams_col(F.col("_t"), k).alias("_g"),
     )
     rows = grams.select(
         "_row",
         "doc_id",
+        "_mult",
         F.size("_g").alias("_n"),
         F.posexplode_outer("_g").alias("pos", "h"),
     )
     spec = (
-        Window.partitionBy("_row")
+        Window.partitionBy("_row", "doc_id")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
@@ -271,11 +286,16 @@ def winnowing_fingerprints(
         | ((F.col("_n") < w) & (F.col("pos") == 0))
         | F.col("pos").isNull()
     )
-    return mins.groupBy("_row", "doc_id").agg(
+    per_doc = mins.groupBy("_row", "doc_id", "_mult").agg(
         F.array_sort(F.array_distinct(F.collect_list("m"))).alias(
             "fingerprints"
         )
-    ).drop("_row")
+    )
+    return per_doc.select(
+        "doc_id",
+        "fingerprints",
+        F.explode(F.sequence(F.lit(1), F.col("_mult"))).alias("_i"),
+    ).drop("_i")
 
 
 def fingerprint_duplicate_pairs(
@@ -303,6 +323,14 @@ def fingerprint_duplicate_pairs(
     (boilerplate runs shared by half the crawl would otherwise square
     into the pair list — same hot-key cap as the shingle/minhash path,
     via a groupBy + broadcast anti join).
+
+    Cache lifetime: the exploded fingerprint frame is persisted
+    (MEMORY_AND_DISK) because it feeds three plan arms, and the CALLER
+    owns releasing it — the returned (lazy) DataFrame exposes the
+    handle as ``._persisted_prints``; call
+    ``result._persisted_prints.unpersist()`` once the pair list is
+    materialized (r4 ADVICE: a long-lived driver looping this function
+    would otherwise accumulate cached blocks for the session lifetime).
     """
     from pyspark import StorageLevel
 
@@ -324,13 +352,16 @@ def fingerprint_duplicate_pairs(
         prints = prints.join(F.broadcast(hot), on="fp", how="left_anti")
     a = prints.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
     b = prints.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
-    return (
+    out = (
         a.join(b, on="fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+    # caller-owned cache handle (see docstring)
+    out._persisted_prints = prints
+    return out
 
 
 def token_length_histogram(

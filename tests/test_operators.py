@@ -942,6 +942,54 @@ class TestHistoryDedup:
         assert len(runs) == 3
         assert not list(pathlib.Path(hist).glob("_tmp-*"))
 
+    def test_legacy_flat_history_folds(self, spark, tmp_path):
+        """r4 ADVICE (medium): a pre-upgrade FLAT history (root-level
+        part files, no run= dirs) must keep its hashes visible after the
+        partitioned version appends — the fold moves root files into a
+        run=legacy-* dir so partition discovery can't shadow them."""
+        import pathlib
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        hist = tmp_path / "hist"
+        # simulate the old flat layout: write a normal parquet dir, then
+        # strip it to root-level data files (what the old appends left)
+        tmp_write = tmp_path / "flatsrc"
+        spark.createDataFrame([("alpha",), ("beta",)], "text: string") \
+            .select(
+                F.md5(dedup.normalized_text_col(F.col("text"))).alias(
+                    "text_md5"
+                )
+            ).coalesce(1).write.parquet(str(tmp_write))
+        hist.mkdir()
+        for f in pathlib.Path(tmp_write).glob("*.parquet"):
+            shutil.move(str(f), str(hist / f.name))
+        (hist / "_SUCCESS").touch()
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "new text")], "doc_id: bigint, text: string"
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_against_history(
+                df, "doc_id", "text", str(hist)
+            ).collect()
+        )
+        assert got == [2]  # alpha seen in the LEGACY layout -> dropped
+        # layout is now pure run= dirs: one legacy fold + this append
+        names = sorted(p.name for p in hist.iterdir())
+        assert any(n.startswith("run=legacy-") for n in names)
+        assert not any(
+            p.is_file() and not p.name.startswith(("_", "."))
+            for p in hist.iterdir()
+        )
+        # all three hashes visible through partition discovery
+        assert spark.read.parquet(str(hist)) \
+            .select("text_md5").distinct().count() == 3
+        # compaction folds legacy+run dirs into one
+        assert dedup.compact_history(spark, str(hist)) == 3
+
     def test_corrupted_history_propagates(self, spark, tmp_path):
         """A history dir that exists but cannot be read must RAISE, not
         silently bootstrap (which would re-emit the whole batch as
@@ -1259,6 +1307,51 @@ class TestUrlHost:
             f"select id, {url_host_sql('url')} from uh_t"
         ).fetchall():
             assert got[i] == h, i
+
+    def test_winnowing_exact_duplicate_rows(self, spark):
+        """r4 ADVICE: the per-row window key is now deterministic
+        (xxhash64(id, text) after a counting groupBy), so exact-duplicate
+        (id, text) rows winnow once and re-expand — output still carries
+        one identical fingerprint row per input row."""
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        df = spark.createDataFrame(
+            [(7, base), (7, base), (8, base)],
+            "doc_id: bigint, text: string",
+        )
+        rows = textstats.winnowing_fingerprints(
+            df, "doc_id", "text", 5, 4
+        ).collect()
+        assert len(rows) == 3
+        spec = spark.createDataFrame([(base,)], "text: string").select(
+            textstats.winnowing_fingerprints_col(F.col("text"), 5, 4).alias(
+                "fp"
+            )
+        ).collect()[0]["fp"]
+        for r in rows:
+            assert list(r["fingerprints"]) == list(spec)
+        assert sorted(r["doc_id"] for r in rows) == [7, 7, 8]
+
+    def test_winnowing_partitioning_invariance(self, spark):
+        """The deterministic key must regroup identically regardless of
+        input partitioning (the retry-regrouping property)."""
+        texts = [
+            (i, f"document number {i} with some shared words and tail {i%3}")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(texts, "doc_id: bigint, text: string")
+        a = {
+            (r["doc_id"], tuple(r["fingerprints"]))
+            for r in textstats.winnowing_fingerprints(
+                df, "doc_id", "text", 5, 4
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], tuple(r["fingerprints"]))
+            for r in textstats.winnowing_fingerprints(
+                df.repartition(7, "text"), "doc_id", "text", 5, 4
+            ).collect()
+        }
+        assert a == b
 
     def test_winnowing_duplicate_doc_ids(self, spark):
         """r4 review: duplicate ids must yield one correct fingerprint

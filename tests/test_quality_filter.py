@@ -204,6 +204,9 @@ class TestC4AndRepetition:
             (2, "only fragments\nno punct"),
             (3, ""),
             (4, None),
+            # r4 ADVICE: a bare apostrophe is NOT a C4 end mark — the
+            # quoted line (end quotation mark) stays, the ' line drops
+            (5, 'He said so loudly "indeed."\nwhat the sign says isn\''),
         ]
         df = spark.createDataFrame(rows, "id: bigint, text: string")
         got = {
@@ -220,6 +223,7 @@ class TestC4AndRepetition:
         assert got[2] == ("", 0.0)
         assert got[3] == ("", 0.0)   # '' not NULL — stable downstream
         assert got[4] == ("", 0.0)
+        assert got[5] == ('He said so loudly "indeed."', 1.0 / 2.0)
 
     def test_c4_and_repetition_sql_parity(self, spark, duck):
         """Hand-adversarial vectors must agree bit-exactly across engines
