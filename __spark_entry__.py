@@ -79,9 +79,9 @@ def _qf_features_sql() -> str:
     return _PAGES_CTE + f"select url, {cols} from pages"
 
 
-def _qf_rule_hit_totals(spark, sf_dir):
-    ann_df = QF.annotate(_pages(spark, sf_dir))
-    names = sorted(heuristics.all_rule_severities())
+def _rule_hit_totals_df(pages_df, rules=None):
+    ann_df = QF.annotate(pages_df, rules=rules)
+    names = sorted(heuristics.all_rule_severities(rules))
     aggs = [F.count(F.lit(1)).alias("n_docs")] + [
         F.sum(F.col(f"hit_{n}").cast("long")).alias(f"hits_{n}") for n in names
     ]
@@ -89,21 +89,106 @@ def _qf_rule_hit_totals(spark, sf_dir):
     return ann_df.agg(*aggs)
 
 
-def _qf_rule_hit_totals_sql() -> str:
-    hits = heuristics.hit_sqls("text", "lang")
+def _qf_rule_hit_totals(spark, sf_dir):
+    return _rule_hit_totals_df(_pages(spark, sf_dir))
+
+
+def _rule_hit_totals_select_sql(rel: str, rules=None) -> str:
+    hits = heuristics.hit_sqls("text", "lang", rules)
     names = sorted(hits)
     from mysql_data_quality_spark.core.types import DROP_SEVERITIES
 
-    sev = heuristics.all_rule_severities()
+    sev = heuristics.all_rule_severities(rules)
     drop_names = sorted(n for n, s in sev.items() if s in DROP_SEVERITIES)
     dropped = " or ".join(f"({hits[n]})" for n in drop_names)
     cols = ", ".join(
         f"cast(sum(case when {hits[n]} then 1 else 0 end) as bigint) as hits_{n}" for n in names
     )
     return (
-        _PAGES_CTE
-        + f"select count(*) as n_docs, {cols}, "
-        + f"cast(sum(case when {dropped} then 1 else 0 end) as bigint) as n_dropped from pages"
+        f"select count(*) as n_docs, {cols}, "
+        + f"cast(sum(case when {dropped} then 1 else 0 end) as bigint) as n_dropped from {rel}"
+    )
+
+
+def _qf_rule_hit_totals_sql() -> str:
+    return _PAGES_CTE + _rule_hit_totals_select_sql("pages")
+
+
+# --- FULL profile (every Gopher/C4 rule decides — r4 verdict ask #1) ------
+#
+# The gate runs the full registry over a deterministically STRESSED pages
+# frame: the synthetic corpus is single-line text, so without reshaping the
+# repetition + C4 page rules would be enabled but never differential.  The
+# stress transform (literal replaces + url-keyed marker injection — exactly
+# mirrored in SQL) makes line/paragraph repetition, lorem-ipsum, and
+# curly-brace rules actually flip decisions in the hash-compared result.
+# The SHIPPED full-profile behavior on raw pages is pinned separately by
+# tests/golden/decisions_full_sf0001.jsonl + the cli --profile e2e test.
+
+
+def _stressed_text_col():
+    lined = F.replace(
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable\n")),
+        F.lit(" value "),
+        F.lit("\nvalue\n"),
+    )
+    para = F.replace(lined, F.lit(" data "), F.lit("\n\ndata\n\n"))
+    mark = (
+        F.when(F.length("url") % 4 == 0, F.lit(" lorem ipsum dolor"))
+        .when(F.length("url") % 4 == 1, F.lit(" brace { sample"))
+        .otherwise(F.lit(""))
+    )
+    # bucket 2 stays SINGLE-line and gains a C4-terminal ending, so the
+    # full profile's `keep` is differential (not an all-drop gate):
+    # those docs pass c4_line_quality and survive unless another rule hits
+    return F.when(
+        F.length("url") % 4 == 3,
+        F.concat(F.col("text"), F.lit(". the page ends properly.")),
+    ).otherwise(F.concat(para, mark))
+
+
+def _stressed_pages(spark, sf_dir):
+    return _pages(spark, sf_dir).withColumn("text", _stressed_text_col())
+
+
+_STRESSED_CTE = (
+    "with pages0 as ("
+    + P.pages_cte_sql()
+    + "), pages as ("
+    "select url, "
+    "case when length(url) % 4 = 3 then text || '. the page ends properly.' "
+    "else "
+    "replace(replace(replace(text, ' table ', chr(10) || 'table' || chr(10)), "
+    "' value ', chr(10) || 'value' || chr(10)), "
+    "' data ', chr(10) || chr(10) || 'data' || chr(10) || chr(10)) || "
+    "case when length(url) % 4 = 0 then ' lorem ipsum dolor' "
+    "when length(url) % 4 = 1 then ' brace { sample' "
+    "else '' end "
+    "end as text, lang from pages0) "
+)
+
+
+def _qf_decisions_full(spark, sf_dir):
+    return QF.decisions(
+        _stressed_pages(spark, sf_dir), rules=heuristics.FULL_RULES
+    )
+
+
+def _qf_decisions_full_sql() -> str:
+    return _STRESSED_CTE + QF.decisions_sql(
+        "pages", rules=heuristics.FULL_RULES
+    )
+
+
+def _qf_rule_hit_totals_full(spark, sf_dir):
+    return _rule_hit_totals_df(
+        _stressed_pages(spark, sf_dir), rules=heuristics.FULL_RULES
+    )
+
+
+def _qf_rule_hit_totals_full_sql() -> str:
+    return _STRESSED_CTE + _rule_hit_totals_select_sql(
+        "pages", rules=heuristics.FULL_RULES
     )
 
 
@@ -1172,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-filter pipeline
         "qf_decisions": _qf_decisions,
         "qf_decisions_arrow_udf": _qf_decisions_arrow,
+        "qf_decisions_full": _qf_decisions_full,
+        "qf_rule_hit_totals_full": _qf_rule_hit_totals_full,
         "qf_flat_hits": _qf_flat_hits,
         "qf_features": _qf_features,
         "c4_clean_docs": _c4_clean_docs,
@@ -1234,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "qf_decisions": _PAGES_CTE + QF.decisions_sql("pages"),
         "qf_decisions_arrow_udf": _PAGES_CTE + QF.decisions_sql("pages"),
+        "qf_decisions_full": _qf_decisions_full_sql(),
+        "qf_rule_hit_totals_full": _qf_rule_hit_totals_full_sql(),
         "qf_flat_hits": _PAGES_CTE + QF.flat_hits_sql("pages"),
         "qf_features": _qf_features_sql(),
         "c4_clean_docs": _c4_clean_docs_sql(),

@@ -214,9 +214,14 @@ def cmd_filter(args) -> int:
     from mysql_data_quality_spark.pipeline import quality_filter as QF
     from mysql_data_quality_spark.pipeline.checkpoint import CheckpointedWriter
     from mysql_data_quality_spark.reports import write_unified_report
+    from mysql_data_quality_spark.rules.heuristics import profile_rules
 
     load_dotenv()
-    rules = rules_from_env()
+    # profile picks the base enable mask; DQS_RULE_* env still overrides
+    # individual thresholds/enables on top of it
+    rules = rules_from_env(
+        base=profile_rules(getattr(args, "profile", "default") or "default")
+    )
     with _Session(args.cores) as spark:
         pages = (
             spark.read.parquet(args.input)
@@ -475,6 +480,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="score perplexity with a real ARPA n-gram model (KenLM "
         "format) instead of the built-in unigram stand-in; tune "
         "DQS_RULE_MIN_AVG_LOGP to the model's scale",
+    )
+    f.add_argument(
+        "--profile",
+        choices=["default", "full"],
+        default="default",
+        help="rule profile: 'default' (round-1 golden-stable set) or "
+        "'full' (every Gopher/C4 rule decides); DQS_RULE_* env "
+        "overrides apply on top",
     )
     f.set_defaults(fn=cmd_filter)
 

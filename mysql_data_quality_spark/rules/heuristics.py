@@ -15,7 +15,7 @@ Feature columns are built once by :func:`with_features` (Spark) /
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -186,6 +186,37 @@ DEFAULT_RULES: tuple[HRule, ...] = (
     HRule("c4_curly_brace", Severity.WARNING,
           "has_curly_brace", "==", True, enabled=False),
 )
+
+#: the FULL profile: every registered heuristic enabled — the
+#: Gopher/C4 configuration a real training-data pipeline runs with
+#: (line/paragraph/n-gram repetition + the C4 page rules DECIDE, not
+#: just annotate).  DEFAULT_RULES stays the shipped default so round-1
+#: golden labels remain byte-stable; ``--profile full`` / ``rules=
+#: FULL_RULES`` opts into this set, which has its own golden decision
+#: snapshot and oracle gate rows (r4 verdict "Next round #1").
+FULL_RULES: tuple[HRule, ...] = tuple(
+    replace(r, enabled=True) for r in DEFAULT_RULES
+)
+
+#: named rule profiles — the reference's "rule registry as the product"
+#: surface (validators/base.py:77-106) with preset enable masks.
+PROFILES: dict[str, tuple[HRule, ...]] = {
+    "default": DEFAULT_RULES,
+    "full": FULL_RULES,
+}
+
+
+def profile_rules(name: str) -> tuple[HRule, ...]:
+    """Rules for a named profile; unknown names raise (a typo'd profile
+    must not silently run the default pipeline — same contract as the
+    DQS_RULE_ env overrides)."""
+    try:
+        return PROFILES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown rule profile {name!r}; profiles: {sorted(PROFILES)}"
+        ) from None
+
 
 #: PII/toxicity rules (regex find-anywhere; blocklist drops, PII annotates
 #: and is scrubbed).  Severity model per SURVEY.md §7.1.

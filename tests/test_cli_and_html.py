@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 
@@ -246,6 +247,61 @@ class TestCliFilter:
             "drop_reason like '%min_words%'"
         ).count()
         assert by_rule["keep_rate"]["total_rows"] == dec.count()
+
+    def test_filter_profile_full_end_to_end(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --profile full: every Gopher/C4 rule decides; output
+        matches the full-profile golden byte-for-byte, metrics report the
+        wider rule registry, and env overrides still compose on top."""
+        from mysql_data_quality_spark import cli
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out_dir,
+             "--buckets", "4", "--profile", "full"]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["input_scans"] == 1
+        got = (
+            spark.read.parquet(f"{out_dir}/data")
+            .orderBy("url")
+            .toPandas()
+        )
+        golden = [
+            json.loads(line)
+            for line in (
+                Path(__file__).parent / "golden"
+                / "decisions_full_sf0001.jsonl"
+            ).read_text().splitlines()
+        ]
+        assert len(got) == len(golden) == 500
+        for row, g in zip(got.itertuples(index=False), golden):
+            assert row.url == g["url"]
+            assert bool(row.keep) == g["keep"], g["url"]
+            assert row.drop_reason == g["drop_reason"], g["url"]
+            assert row.scrubbed_text == g["scrubbed_text"], g["url"]
+        # the metrics table covers the full registry
+        payload = json.loads(open(stats["metrics_reports"]["json"]).read())
+        rule_names = {r["rule_name"] for r in payload["results"]}
+        assert {"line_repetition", "c4_line_quality",
+                "c4_lorem_ipsum"} <= rule_names
+        # env override composes ON TOP of the profile
+        monkeypatch.setenv("DQS_RULE_C4_LINE_QUALITY_ENABLED", "false")
+        out2 = str(tmp_path / "out2")
+        rc = cli.main(
+            ["filter", "--documents", SF_SMOKE, "--output", out2,
+             "--buckets", "4", "--profile", "full"]
+        )
+        assert rc == 0
+        dec2 = spark.read.parquet(f"{out2}/data")
+        assert dec2.where(
+            "drop_reason like '%c4_line_quality%'"
+        ).count() == 0
+        assert dec2.where("keep").count() > got.keep.sum()
 
     def test_filter_dedup_end_to_end_matches_composed_oracle(
         self, spark, tmp_path, monkeypatch, capsys

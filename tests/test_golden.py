@@ -29,14 +29,38 @@ from mysql_data_quality_spark.pipeline import quality_filter as QF
 from tests.conftest import SF_SMOKE
 
 GOLDEN = Path(__file__).parent / "golden" / "decisions_sf0001.jsonl"
+GOLDEN_FULL = Path(__file__).parent / "golden" / "decisions_full_sf0001.jsonl"
 
 
-def test_decisions_match_golden(spark):
-    dec = QF.decisions(P.read_pages(spark, SF_SMOKE)).orderBy("url").toPandas()
-    golden = [json.loads(line) for line in GOLDEN.read_text().splitlines()]
+def _check(spark, golden_path, rules=None):
+    dec = (
+        QF.decisions(P.read_pages(spark, SF_SMOKE), rules=rules)
+        .orderBy("url")
+        .toPandas()
+    )
+    golden = [json.loads(line) for line in golden_path.read_text().splitlines()]
     assert len(dec) == len(golden) == 500
     for row, g in zip(dec.itertuples(index=False), golden):
         assert row.url == g["url"]
         assert bool(row.keep) == g["keep"], g["url"]
         assert row.drop_reason == g["drop_reason"], g["url"]
         assert row.scrubbed_text == g["scrubbed_text"], g["url"]
+    return dec
+
+
+def test_decisions_match_golden(spark):
+    _check(spark, GOLDEN)
+
+
+def test_full_profile_decisions_match_golden(spark):
+    """The FULL profile (--profile full: every Gopher/C4 rule decides)
+    has its own byte-stable golden snapshot — r4 verdict ask #1.  Sanity:
+    the full profile must drop strictly more than the default (it adds
+    drop-severity rules) and at least one drop_reason must name a rule
+    the default profile can't emit."""
+    from mysql_data_quality_spark.rules.heuristics import FULL_RULES
+
+    base = _check(spark, GOLDEN)
+    full = _check(spark, GOLDEN_FULL, rules=FULL_RULES)
+    assert full.keep.sum() < base.keep.sum()
+    assert full.drop_reason.str.contains("c4_line_quality").any()

@@ -61,3 +61,23 @@ class TestRuleConfig:
         ann = QF.annotate(pages, rules=_custom_rules())
         assert "hit_repetition" not in ann.columns
         assert "hit_min_words" in ann.columns
+
+
+def test_profile_registry():
+    """Named profiles: 'full' enables every heuristic; unknown names
+    raise (typo safety, same contract as DQS_RULE_ overrides)."""
+    import pytest
+
+    from mysql_data_quality_spark.rules.heuristics import (
+        DEFAULT_RULES,
+        FULL_RULES,
+        profile_rules,
+    )
+
+    assert profile_rules("default") is DEFAULT_RULES
+    assert profile_rules("full") is FULL_RULES
+    assert all(r.enabled for r in FULL_RULES)
+    assert [r.name for r in FULL_RULES] == [r.name for r in DEFAULT_RULES]
+    assert any(not r.enabled for r in DEFAULT_RULES)  # default stays masked
+    with pytest.raises(ValueError, match="unknown rule profile"):
+        profile_rules("fulll")
