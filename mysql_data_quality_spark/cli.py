@@ -229,6 +229,7 @@ def cmd_filter(args) -> int:
             else P.read_pages(spark, args.documents)
         )
         hist_dir = getattr(args, "dedup_history", None)
+        near = getattr(args, "dedup_near", None)
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -255,6 +256,36 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
+        if near:
+            # FUZZY dedup stage (the near-dup pass every real training
+            # pipeline runs after exact dedup): sub-quadratic candidate
+            # pairs -> connected components -> keep one doc per cluster.
+            # Runs AFTER exact/history dedup (pairs over the surviving
+            # corpus) and BEFORE the filter, so rules/scrubbing run once
+            # per kept document.  Pair generators are the scale paths:
+            # minhash = banded LSH on word shingles (text-level near-dup),
+            # fingerprint = shared winnowing fingerprints (copied-passage
+            # near-dup); both exchange ids only, never text.
+            from mysql_data_quality_spark.operators.dedup import (
+                deduplicated_corpus,
+                minhash_lsh_pairs,
+            )
+            from mysql_data_quality_spark.operators.textstats import (
+                fingerprint_duplicate_pairs,
+            )
+
+            if near == "minhash":
+                pairs = minhash_lsh_pairs(
+                    pages, "url", "text",
+                    k=3, num_hashes=32, bands=8,
+                    threshold=args.near_threshold,
+                )
+            else:  # fingerprint
+                pairs = fingerprint_duplicate_pairs(
+                    pages, "url", "text", k=8, w=8,
+                    min_shared=args.near_min_shared,
+                )
+            pages = deduplicated_corpus(pages, pairs, "url")
         lm = None
         if getattr(args, "arpa_model", None):
             from mysql_data_quality_spark.rules.arpa import parse_arpa_file
@@ -488,6 +519,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="rule profile: 'default' (round-1 golden-stable set) or "
         "'full' (every Gopher/C4 rule decides); DQS_RULE_* env "
         "overrides apply on top",
+    )
+    f.add_argument(
+        "--dedup-near",
+        choices=["minhash", "fingerprint"],
+        default=None,
+        help="fuzzy-dedup the corpus before filtering: candidate pairs "
+        "(minhash = banded LSH on shingles; fingerprint = shared "
+        "winnowing fingerprints) -> connected components -> keep the "
+        "smallest url per cluster; composes after --dedup/--dedup-history",
+    )
+    f.add_argument(
+        "--near-threshold",
+        type=float,
+        default=0.5,
+        help="minhash signature-agreement threshold (with --dedup-near "
+        "minhash)",
+    )
+    f.add_argument(
+        "--near-min-shared",
+        type=int,
+        default=3,
+        help="minimum shared winnowing fingerprints (with --dedup-near "
+        "fingerprint)",
     )
     f.set_defaults(fn=cmd_filter)
 

@@ -42,6 +42,42 @@ def normalized_text_sql(text: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# cross-engine 60-bit hash family (md5-derived): xxhash64 has no DuckDB
+# twin, so the production operators that hash with it are rows-only at the
+# gate.  These helpers give the SAME integer in Spark and DuckDB (15 hex
+# chars of md5 = 60 bits, positive in both engines' bigint), letting the
+# *_md5 oracle variants put the ALGORITHMS (winnowing minima selection,
+# minhash band collision + signature agreement) under hash compare while
+# production keeps xxhash64 (r4 verdict ask #5).
+# ---------------------------------------------------------------------------
+
+def md5_int60_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_int60_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+#: minhash-md5 permutation family: h_i(x) = (a_i * (base % 2^30) + b_i)
+#: mod P with P = 2^31-1 — products stay under 2^61, so the arithmetic is
+#: exact int64 in BOTH engines (DuckDB raises on bigint overflow rather
+#: than wrapping, so the operand bounds are load-bearing).
+MH_P = 2147483647
+MH_BASE_MOD = 1 << 30
+
+
+def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MH_P), rng.randrange(0, MH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def exact_duplicate_groups(
     df: DataFrame,
     id_col: str,
@@ -385,6 +421,174 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """MinHash+LSH with the cross-engine md5 hash family — the ORACLE
+    variant of :func:`minhash_lsh_pairs` (same banding algorithm, same
+    plan shape; hash swapped so DuckDB can replay it exactly).  Keep
+    xxhash64 (:func:`minhash_lsh_pairs`) in production: one JVM hash per
+    shingle beats md5-hex + string-conv by a wide margin.
+
+    Signature: sig[i] = min over shingles of (a_i * (md5_60(shingle) %
+    2^30) + b_i) mod (2^31-1), fixed (a_i, b_i) from a seeded driver-side
+    RNG (embedded as literals in BOTH engines' plans).  Band key =
+    md5_60 of the comma-joined band rows.  Pairs score by signature
+    agreement, like the production operator.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    params = _mh_params(num_hashes)
+    sh = _shingles(df, id_col, text_col, k)
+    base = F.transform(
+        F.col("shingles"), lambda s: md5_int60_col(s) % MH_BASE_MOD
+    )
+    sh = sh.where(F.size("shingles") > 0).select("doc_id", base.alias("_base"))
+
+    def hasher(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MH_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_base"), hasher(a, b)))
+            for a, b in params
+        ]
+    )
+    sigs = sh.select("doc_id", sig.alias("sig"))
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_int60_col(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            on="doc_b",
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_md5_sql(
+    docs_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.25,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs_md5`: identical shingles,
+    identical permutation constants, identical band keys — the whole
+    LSH candidate-generation + scoring algorithm replayed in SQL."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    params = _mh_params(num_hashes)
+    toks = (
+        f"list_filter(regexp_split_to_array(trim(lower(coalesce({text_col}, ''))), "
+        f"'{WS_RE}'), t -> len(t) > 0)"
+    )
+    sig_cols = ", ".join(
+        f"min(({a} * x + {b}) % {MH_P}) as h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, {band} as band, {bh} as bh from sig".format(
+            band=bb,
+            bh=md5_int60_sql(
+                " || ',' || ".join(
+                    f"cast(h{bb * rows + r} as varchar)" for r in range(rows)
+                )
+            ),
+        )
+        for bb in range(bands)
+    )
+    agree = " + ".join(
+        f"case when sa.h{i} = sb.h{i} then 1 else 0 end"
+        for i in range(num_hashes)
+    )
+    return f"""
+with sh as (
+  select {id_col} as doc_id,
+         case when len({toks}) >= {k} then
+           list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ')
+                          for i in range(1, len({toks}) - {k} + 2)])
+         else [] end as shingles
+  from {docs_rel}
+), ex as (
+  select doc_id, {md5_int60_sql('s')} % {MH_BASE_MOD} as x
+  from (select doc_id, unnest(shingles) as s from sh where len(shingles) > 0)
+), sig as (
+  select doc_id, {sig_cols} from ex group by doc_id
+), banded as (
+  {band_rows}
+), cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b
+    on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+)
+select doc_a, doc_b,
+       cast(({agree}) as double) / {float(num_hashes)} as est_jaccard
+from cand
+join sig sa on sa.doc_id = doc_a
+join sig sb on sb.doc_id = doc_b
+where cast(({agree}) as double) / {float(num_hashes)} >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -162,12 +162,14 @@ from per_gram group by doc_id
 # identical sets — the local-fingerprinting property plain md5/minhash
 # doesn't give (md5 breaks on 1-char edits; minhash is global).
 # ---------------------------------------------------------------------------
-def _winnowing_grams_col(text: Column, k: int) -> Column:
-    """array<bigint>: one xxhash64 per k-char gram of the normalized
-    text.  Whitespace is collapsed and case folded first so formatting
-    edits don't shift every gram."""
+def _winnowing_grams_col(text: Column, k: int, hasher=None) -> Column:
+    """array<bigint>: one hash per k-char gram of the normalized text
+    (default xxhash64; the md5 oracle variant passes a cross-engine
+    hasher).  Whitespace is collapsed and case folded first so
+    formatting edits don't shift every gram."""
     from mysql_data_quality_spark.operators.dedup import normalized_text_col
 
+    hasher = hasher or F.xxhash64
     norm = normalized_text_col(text)
     n = F.length(norm)
     # NB: F.sequence(1, stop) counts DOWN when stop < 1, so gate on n >= k
@@ -175,7 +177,7 @@ def _winnowing_grams_col(text: Column, k: int) -> Column:
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+            lambda i: hasher(norm.substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
@@ -226,7 +228,12 @@ def winnowing_fingerprints_col(
 
 
 def winnowing_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, fingerprints: array<bigint>) per document — bit-identical
     to :func:`winnowing_fingerprints_col` but computed as a WINDOWED
@@ -255,8 +262,22 @@ def winnowing_fingerprints(
     and (c) the output still carries one fingerprint row per input row
     (re-expanded by the stored multiplicity), like the per-row Column
     form.  The pre-groupBy shuffles text once; that is cheaper than the
-    gram-row shuffle that follows (8 bytes per character vs 1)."""
+    gram-row shuffle that follows (8 bytes per character vs 1).
+
+    ``gram_hash``: ``"xxhash64"`` (production default) or ``"md5_60bit"``
+    (cross-engine hash, DuckDB-replayable — the gate's
+    ``winnowing_fingerprints_md5`` oracle variant; see
+    :func:`winnowing_fingerprints_md5_sql`)."""
     from pyspark.sql.window import Window
+
+    if gram_hash == "xxhash64":
+        hasher = None
+    elif gram_hash == "md5_60bit":
+        from mysql_data_quality_spark.operators.dedup import md5_int60_col
+
+        hasher = md5_int60_col
+    else:
+        raise ValueError(f"gram_hash must be xxhash64|md5_60bit: {gram_hash!r}")
 
     uniq = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
@@ -267,7 +288,7 @@ def winnowing_fingerprints(
         F.xxhash64("doc_id", "_t").alias("_row"),
         "doc_id",
         "_mult",
-        _winnowing_grams_col(F.col("_t"), k).alias("_g"),
+        _winnowing_grams_col(F.col("_t"), k, hasher).alias("_g"),
     )
     rows = grams.select(
         "_row",
@@ -298,6 +319,57 @@ def winnowing_fingerprints(
     ).drop("_i")
 
 
+def winnowing_fingerprints_md5_sql(
+    docs_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of ``winnowing_fingerprints(..., gram_hash=
+    "md5_60bit")``: identical normalization, identical gram hashes
+    (cross-engine md5-derived 60-bit ints), identical window-minimum
+    selection — the winnowing ALGORITHM under hash compare (the
+    production xxhash64 path stays rows-only).  Emits the flattened
+    projection (n_fingerprints, min, comma-joined list) because the
+    driver's hash compare cannot canonicalize list cells.
+
+    Assumes unique ``id_col`` in ``docs_rel`` (true for the gate's
+    documents table); the Spark side needs no such assumption."""
+    from mysql_data_quality_spark.operators.dedup import (
+        md5_int60_sql,
+        normalized_text_sql,
+    )
+
+    norm = normalized_text_sql(text_col)
+    gram = md5_int60_sql(f"substr(norm, i, {k})")
+    return f"""
+with nm as (
+  select {id_col} as doc_id, {norm} as norm from {docs_rel}
+), gr as (
+  select doc_id,
+         case when len(norm) >= {k} then
+           [{gram} for i in range(1, len(norm) - {k} + 2)]
+         else [] end as grams
+  from nm
+), fps as (
+  select doc_id,
+         case when len(grams) >= {w} then
+           list_sort(list_distinct(
+             [list_min(grams[j:j+{w - 1}]) for j in range(1, len(grams) - {w} + 2)]
+           ))
+         when len(grams) > 0 then [list_min(grams)]
+         else [] end as fingerprints
+  from gr
+)
+select doc_id,
+       cast(len(fingerprints) as bigint) as n_fingerprints,
+       fingerprints[1] as min_fingerprint,
+       coalesce(array_to_string(fingerprints, ','), '') as fps
+from fps
+"""
+
+
 def fingerprint_duplicate_pairs(
     df: DataFrame,
     id_col: str,
@@ -306,6 +378,7 @@ def fingerprint_duplicate_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_fingerprint_df: int | None = 1000,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_a, doc_b, shared_fingerprints): document pairs sharing at
     least ``min_shared`` winnowing fingerprints — cross-document repeated
@@ -335,7 +408,7 @@ def fingerprint_duplicate_pairs(
     from pyspark import StorageLevel
 
     prints = (
-        winnowing_fingerprints(df, id_col, text_col, k, w)
+        winnowing_fingerprints(df, id_col, text_col, k, w, gram_hash)
         .select("doc_id", F.explode("fingerprints").alias("fp"))
     )
     # prints feeds three arms (hot-fp count + both join sides) — persist
@@ -362,6 +435,56 @@ def fingerprint_duplicate_pairs(
     # caller-owned cache handle (see docstring)
     out._persisted_prints = prints
     return out
+
+
+def fingerprint_duplicate_pairs_md5_sql(
+    docs_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of ``fingerprint_duplicate_pairs(...,
+    gram_hash="md5_60bit", max_fingerprint_df=None)``: the winnowing-md5
+    fingerprints (same selection algorithm) exploded and self-joined —
+    the substring-level near-dup PAIR logic under hash compare.  No
+    hot-fingerprint cap (the oracle is the exact form, like the other
+    tiny-scale oracles)."""
+    from mysql_data_quality_spark.operators.dedup import (
+        md5_int60_sql,
+        normalized_text_sql,
+    )
+
+    norm = normalized_text_sql(text_col)
+    gram = md5_int60_sql(f"substr(norm, i, {k})")
+    return f"""
+with nm as (
+  select {id_col} as doc_id, {norm} as norm from {docs_rel}
+), gr as (
+  select doc_id,
+         case when len(norm) >= {k} then
+           [{gram} for i in range(1, len(norm) - {k} + 2)]
+         else [] end as grams
+  from nm
+), fps as (
+  select doc_id,
+         case when len(grams) >= {w} then
+           list_sort(list_distinct(
+             [list_min(grams[j:j+{w - 1}]) for j in range(1, len(grams) - {w} + 2)]
+           ))
+         when len(grams) > 0 then [list_min(grams)]
+         else [] end as fingerprints
+  from gr
+), ex as (
+  select doc_id, unnest(fingerprints) as fp from fps
+)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       count(*) as shared_fingerprints
+from ex a join ex b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+having count(*) >= {min_shared}
+"""
 
 
 def token_length_histogram(

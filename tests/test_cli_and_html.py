@@ -67,6 +67,14 @@ class TestCli:
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--dedup-history", "/h", "--arpa-model", "/m"])
         assert a.dedup_history == "/h" and a.arpa_model == "/m"
+        a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--profile", "full", "--dedup-near", "minhash",
+                          "--near-threshold", "0.4"])
+        assert a.profile == "full" and a.dedup_near == "minhash"
+        assert a.near_threshold == 0.4 and a.near_min_shared == 3
+        with pytest.raises(SystemExit):
+            p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--dedup-near", "simhash"])  # not a generator
 
     def test_validate_command(self, spark, tmp_path, capsys):
         # reuses the session via getOrCreate inside the command
@@ -374,6 +382,117 @@ class TestCliFilter:
         )
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and stats["written"] == 0 and stats["skipped"] == 4
+
+
+class TestCliFilterDedupNear:
+    def _pages(self, spark):
+        """Controlled corpus: two clear near-dup clusters (one word
+        changed) + unrelated docs, so the probabilistic minhash pass and
+        the exact jaccard closure agree on the clusters."""
+        from pyspark.sql import functions as F
+
+        a = ("the quick brown fox jumps over the lazy dog near the "
+             "river bank every single morning without fail at dawn.")
+        b = ("spark compiles declarative plans into whole stage codegen "
+             "with partial aggregation pushed below every shuffle edge.")
+        rows = [
+            ("u01", a), ("u02", a.replace("dawn", "dusk")),
+            ("u03", a.replace("morning", "evening")),
+            ("u10", b), ("u11", b.replace("every", "each")),
+            ("u20", "completely unrelated text about parquet footers."),
+            ("u21", "another standalone page mentioning bloom filters."),
+            ("u22", "nothing shared here with any other document text."),
+        ]
+        return (
+            spark.createDataFrame(rows, "url: string, text: string")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+
+    def test_dedup_near_minhash_matches_composed_oracle(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --dedup-near minhash: pairs -> clusters -> keep-one ->
+        filter, byte-compared against the DuckDB composition (jaccard
+        pairs + recursive-CTE closure + decisions) — r4 verdict ask #4."""
+        import duckdb
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.operators.dedup import (
+            duplicate_clusters_sql,
+            shingle_jaccard_pairs_sql,
+        )
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        monkeypatch.chdir(tmp_path)
+        dup_in = str(tmp_path / "pages_in")
+        self._pages(spark).write.parquet(dup_in)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--input", dup_in, "--output", out_dir,
+             "--buckets", "2", "--dedup-near", "minhash"]
+        )
+        assert rc == 0
+        got = (
+            spark.read.parquet(f"{out_dir}/data")
+            .drop("bucket")
+            .orderBy("url")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(f"create view pages as select * from '{dup_in}/*.parquet'")
+        pairs = shingle_jaccard_pairs_sql(
+            "pages", id_col="url", k=3, threshold=0.6
+        )
+        clusters = duplicate_clusters_sql(pairs)
+        oracle = con.sql(
+            "with corpus as (select * from pages where url not in ("
+            f"select doc_id from ({clusters}) where doc_id != cluster_id)) "
+            + QF.decisions_sql("corpus") + " order by url"
+        ).df()
+        assert list(got.columns) == list(oracle.columns)
+        assert len(got) == len(oracle) == 5  # 8 docs - 3 cluster losers
+        for c in got.columns:
+            assert (got[c].values == oracle[c].values).all(), c
+        assert set(got.url) == {"u01", "u10", "u20", "u21", "u22"}
+
+    def test_dedup_near_fingerprint_removes_copied_passages(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --dedup-near fingerprint: docs sharing a long copied
+        passage cluster and keep one; standalone docs survive."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+
+        passage = ("the quick brown fox jumps over the lazy dog near "
+                   "the river bank every single morning without fail")
+        rows = [
+            ("u1", "Original intro. " + passage + " And an ending."),
+            ("u2", passage + " Totally different commentary follows."),
+            ("u3", "Nothing in common with the others at all, none."),
+        ]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+        monkeypatch.chdir(tmp_path)
+        dup_in = str(tmp_path / "pages_in")
+        pages.write.parquet(dup_in)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--input", dup_in, "--output", out_dir,
+             "--buckets", "2", "--dedup-near", "fingerprint"]
+        )
+        assert rc == 0
+        kept = {
+            r["url"]
+            for r in spark.read.parquet(f"{out_dir}/data").collect()
+        }
+        assert kept == {"u1", "u3"}  # u2 clustered with u1; smallest kept
 
 
 class TestCliStreamFilter:
