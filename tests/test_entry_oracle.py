@@ -45,6 +45,16 @@ def test_query_matches_oracle(spark, duck, name):
             assert (av == bv).all(), f"{name}.{c}"
 
 
+def test_gate_is_exactly_50_fully_oracled():
+    """The driver gate records at most 50 rows in dict order (observed
+    r4: 53 declared -> 50 recorded).  Pin the contract: exactly 50
+    declared queries, every one with an oracle — so the gate, the entry
+    file, and BASELINE.md can never drift apart again (r4 verdict ask
+    #2)."""
+    assert len(QUERIES) == 50
+    assert set(QUERIES) == set(ORACLES)
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()

@@ -131,6 +131,27 @@ class TestPlanQuality:
                     f"corpus text rides a shuffle ({keep}):\n{b}"
                 )
 
+    def test_near_dedup_corpus_keep_one_is_broadcast_anti(self, spark):
+        """deduplicated_corpus (the --dedup-near keep-one step): the
+        cluster losers broadcast and the corpus is anti-joined in place —
+        the corpus must not shuffle for the keep-one join (clusters are
+        near-dup OUTPUT, orders of magnitude smaller than the corpus)."""
+        import re
+
+        from mysql_data_quality_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4
+        )
+        plan = _plan(dedup.deduplicated_corpus(docs, pairs, "doc_id"))
+        assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan[:2000]
+        # the corpus text column never rides a shuffle Exchange
+        blocks = re.split(r"\n\n", plan)
+        for b in blocks:
+            if re.match(r"\(\d+\) Exchange", b.strip()):
+                assert not re.search(r"\btext#", b), b
+
     def test_q1_reads_only_needed_columns(self, spark):
         plan = _plan(entry._q1_pricing_summary(spark, SF_CORRECT))
         import re
