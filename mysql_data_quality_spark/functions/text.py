@@ -293,14 +293,31 @@ def dup_paragraph_fraction_sql(text: str) -> str:
 
 def ngrams_col(toks: Column, n: int) -> Column:
     """Word n-grams as space-joined strings ([] when the doc has fewer
-    than n tokens)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    than n tokens).
+
+    Shape matters (the HOF-lambda trap, BENCH.md r4): the original form
+    sliced ``toks`` INSIDE a ``transform`` lambda, and a lambda re-
+    evaluates every subexpression of its body per element — with the
+    token-split inlined by CollapseProject that was O(n²) re-
+    tokenization per document (measured: dup_2gram_fraction alone cost
+    10.3s of the 15.7s full-profile run at 200k docs; this rewrite takes
+    the whole feature to ~1s).  Here the shifted views of ``toks`` are
+    ``zip_with`` ARGUMENTS — evaluated once per row — and the lambda
+    only concatenates elements; identical output strings (vector-pinned
+    + oracle-checked)."""
+    size = F.size(toks)
+    g = toks
+    for j in range(2, n + 1):
+        # shifted view; length clamps at 0 so short docs never hit
+        # slice's negative-length error (the outer when() guards the
+        # VALUE, not argument evaluation)
+        shifted = F.slice(toks, j, F.greatest(size - (j - 1), F.lit(0)))
+        # zip_with pads the shorter side with null; concat propagates
+        # null, so the trailing j-1 grams become null and the final
+        # slice drops them
+        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    g = F.slice(g, 1, F.greatest(size - (n - 1), F.lit(0)))
+    return F.when(size >= n, g).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams_sql(toks: str, n: int) -> str:
