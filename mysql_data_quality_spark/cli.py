@@ -228,6 +228,10 @@ def cmd_filter(args) -> int:
             if args.input
             else P.read_pages(spark, args.documents)
         )
+        if getattr(args, "extract_html", False):
+            # WARC-payload ingest: fill missing text from the raw html
+            # (pure-Column extraction; rows with text keep it byte-identical)
+            pages = P.pages_with_extracted_text(pages)
         hist_dir = getattr(args, "dedup_history", None)
         near = getattr(args, "dedup_near", None)
         if getattr(args, "dedup", False) and not hist_dir:
@@ -542,6 +546,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=3,
         help="minimum shared winnowing fingerprints (with --dedup-near "
         "fingerprint)",
+    )
+    f.add_argument(
+        "--extract-html",
+        action="store_true",
+        help="fill missing text from the raw html payload (regex "
+        "visible-text extraction, pure Column exprs) before the rules",
     )
     f.set_defaults(fn=cmd_filter)
 

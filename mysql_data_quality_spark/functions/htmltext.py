@@ -1,0 +1,87 @@
+"""HTML → visible-text extraction as cross-engine Column/SQL pairs.
+
+The north-star pipeline's input is an Iceberg table of Common-Crawl-style
+pages carrying BOTH ``html: binary`` and ``text: string``; the driver's
+synthetic tables arrive with ``text`` already extracted, so the engine so
+far consumed it as-is.  This module closes the loop for corpora where
+only the raw payload exists (the reference analogue is the "strip
+formatting" scrub, ``/root/reference/src/data_quality/validators/
+patterns.py`` — format-noise removal before validation): a deterministic,
+regex-based visible-text extractor good for the boilerplate-heavy crawl
+case, as pure Column expressions with a byte-identical DuckDB mirror.
+
+Deliberately NOT a browser-grade DOM parser (that would be a per-row
+Python library call — the slow path); the rule chain below is the classic
+crawl-pipeline shape (strip comments/script/style, block tags → newline,
+strip tags, unescape core entities, collapse whitespace) and every step
+is a JVM/RE2-compatible regex or literal replace, so it runs inside
+whole-stage codegen at 100 TB and DuckDB replays it byte-for-byte.
+
+Ordering contract (pinned by tests): comments → script → style → block
+tags → all tags → entities (``&amp;`` LAST, so ``&amp;lt;`` decodes to
+the literal ``&lt;`` exactly once, the standard single-pass unescape) →
+whitespace collapse.  No backreferences (RE2 has none), no lookbehind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tags whose END (or self) marks a line break in visible text
+_BLOCK_RE = r"(?i)</?(br|p|div|h[1-6]|li|tr|td|th|ul|ol|table|section|article|header|footer)\b[^>]*>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_TAG_RE = r"(?s)<[^>]*>"
+#: intra-line whitespace (explicit class: Java \s and RE2 \s disagree on
+#: vertical tab — same rule as functions/text.py)
+_SP_RE = "[ \\t\\x0B\\f\\r]+"
+
+#: (entity, replacement) in APPLICATION ORDER; &amp; must come last
+ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text_col(html: Column) -> Column:
+    """``html: binary`` (UTF-8 bytes) → visible text string ('' for NULL
+    payloads — never NULL, like c4_clean_text)."""
+    s = F.coalesce(F.decode(html, "UTF-8"), F.lit(""))
+    s = F.regexp_replace(s, _COMMENT_RE, "")
+    s = F.regexp_replace(s, _SCRIPT_RE, "")
+    s = F.regexp_replace(s, _STYLE_RE, "")
+    s = F.regexp_replace(s, _BLOCK_RE, "\n")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, rep in ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    # collapse runs of spaces/tabs, trim each line, drop blank lines;
+    # NB plain trim() strips spaces only in BOTH engines, so the edge
+    # strip must be a regex that also eats newlines
+    s = F.regexp_replace(s, _SP_RE, " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    return F.regexp_replace(s, r"^[\n ]+|[\n ]+$", "")
+
+
+def extract_text_sql(html: str) -> str:
+    """DuckDB twin (``html`` is a BLOB column/expression)."""
+    s = f"coalesce(decode({html}), '')"
+    for pat in (_COMMENT_RE, _SCRIPT_RE, _STYLE_RE):
+        # DuckDB RE2 takes inline flags too; 'g' flag for replace-all
+        s = f"regexp_replace({s}, '{pat}', '', 'g')"
+    s = f"regexp_replace({s}, '{_BLOCK_RE}', chr(10), 'g')"
+    s = f"regexp_replace({s}, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    s = f"regexp_replace({s}, '{_SP_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, ' ?\\n ?', chr(10), 'g')"
+    s = f"regexp_replace({s}, '\\n{{2,}}', chr(10), 'g')"
+    return f"regexp_replace({s}, '^[\\n ]+|[\\n ]+$', '', 'g')"

@@ -1,0 +1,163 @@
+"""Deterministic hash-based corpus sampling, source mixing, and
+train/val/test splitting — the corpus-assembly operators a training-data
+pipeline runs after filtering/dedup.
+
+Why hash-based instead of ``df.sample()``: Spark's sampler is seeded but
+PARTITIONING-dependent (each partition draws its own stream), so adding
+an executor changes the sample — unacceptable for reproducible training
+corpora.  Here membership is a pure function of the row's id:
+``u(id) = md5_60(seed || ':' || id) / 2^60`` is uniform in [0, 1) and
+IDENTICAL in Spark and DuckDB (the cross-engine hash family from
+:mod:`operators.dedup`), so the selected row SET is bit-stable across
+partitionings, cluster widths, engines, and reruns — and the oracle can
+verify the exact rows, not just the rate.
+
+Scale shape: every operator is a pure map over the scan (zero shuffles,
+whole-stage codegen); at 10^12 docs these cost one md5 per row on top of
+the read.  Reference analogue: the count-gated ``ORDER BY RAND() LIMIT
+n`` sampler (``/root/reference/src/data_quality/cli.py:237-246``) — a
+full random sort in the source DB that is neither stable nor
+distributed; this module is its scale-correct generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.operators.dedup import (
+    md5_int60_col,
+    md5_int60_sql,
+)
+
+_DENOM = float(1 << 60)
+
+
+def unit_hash_col(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform [0, 1) per id (double; exact dyadic ratio of
+    a 60-bit int, so cross-engine bit-identical)."""
+    key = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    return md5_int60_col(key) / F.lit(_DENOM)
+
+
+def unit_hash_sql(id_expr: str, seed: int = 0) -> str:
+    key = f"'{seed}:' || cast({id_expr} as varchar)"
+    return f"(cast({md5_int60_sql(key)} as double) / {_DENOM!r})"
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the id
+    (stable under any partitioning/engine; same id set on every run)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return df.where(unit_hash_col(F.col(id_col), seed) < F.lit(fraction))
+
+
+def hash_sample_sql(
+    rel: str, id_expr: str, fraction: float, seed: int = 0
+) -> str:
+    return (
+        f"select * from {rel} "
+        f"where {unit_hash_sql(id_expr, seed)} < {fraction!r}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum keep rates — the SOURCE-MIXING operator (e.g. keep 100%
+    of books, 30% of common-crawl, 5% of forums).  Strata missing from
+    ``fractions`` keep ``default``.  Membership is per-id deterministic,
+    so re-running with a raised rate produces a SUPERSET of the previous
+    sample (monotone thresholds — handy for corpus scaling studies)."""
+    for name, p in fractions.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]: {p}")
+    rate: Column = F.lit(float(default))
+    for name, p in sorted(fractions.items()):
+        rate = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(float(p))
+        ).otherwise(rate)
+    return df.where(unit_hash_col(F.col(id_col), seed) < rate)
+
+
+def stratified_sample_sql(
+    rel: str,
+    id_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> str:
+    # chained CASE in the SAME (sorted) order as the Column form
+    whens = " ".join(
+        f"when {strata_expr} = '{name}' then {float(p)!r}"
+        for name, p in sorted(fractions.items(), reverse=True)
+    )
+    # NOTE: the Column form folds sorted-ascending via nested otherwise,
+    # which evaluates like a reverse-order CASE; both reduce to "the
+    # matching stratum's rate" because strata are disjoint equalities.
+    case = f"case {whens} else {float(default)!r} end"
+    return (
+        f"select * from {rel} "
+        f"where {unit_hash_sql(id_expr, seed)} < {case}"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: the unit interval
+    is cut at the cumulative fractions (must sum to 1 within 1e-9) and
+    each id lands in exactly one band — deterministic, engine-stable,
+    and independent of row order or partitioning.  ``fractions`` is an
+    ordered (name, fraction) tuple: band ORDER is part of the contract
+    (ids are assigned to the first band whose cumulative bound exceeds
+    their hash)."""
+    total = sum(p for _, p in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = unit_hash_col(F.col(id_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    *head, (last_name, _) = fractions
+    for name, p in head:
+        cum += p
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    # the last band takes the remainder, so float-edge ids can't fall out
+    expr = (
+        F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    rel: str,
+    id_expr: str,
+    fractions: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 0,
+    out_col: str = "split",
+) -> str:
+    u = unit_hash_sql(id_expr, seed)
+    whens = []
+    cum = 0.0
+    *head, (last_name, _) = fractions
+    for name, p in head:
+        cum += p
+        whens.append(f"when {u} < {cum!r} then '{name}'")
+    case = f"case {' '.join(whens)} else '{last_name}' end"
+    return f"select *, {case} as {out_col} from {rel}"

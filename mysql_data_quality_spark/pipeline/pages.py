@@ -120,3 +120,22 @@ def pages_cte_sql(docs_table: str = "documents") -> str:
 def read_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pages_from_documents(docs)
+
+
+def pages_with_extracted_text(
+    pages: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """Fill ``text`` from the raw ``html`` payload where it is missing —
+    the ingest step for corpora that arrive as WARC payloads only
+    (the north-star input carries both columns; the driver's synthetic
+    tables come pre-extracted, so this is a no-op there).  Rows with a
+    non-null ``text`` keep it byte-identical (the per-url byte-identity
+    contract); extraction is the pure-Column chain in
+    :mod:`mysql_data_quality_spark.functions.htmltext` — no Python, no
+    shuffle, whole-stage codegen."""
+    from mysql_data_quality_spark.functions.htmltext import extract_text_col
+
+    return pages.withColumn(
+        text_col,
+        F.coalesce(F.col(text_col), extract_text_col(F.col(html_col))),
+    )

@@ -69,9 +69,10 @@ class TestCli:
         assert a.dedup_history == "/h" and a.arpa_model == "/m"
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--profile", "full", "--dedup-near", "minhash",
-                          "--near-threshold", "0.4"])
+                          "--near-threshold", "0.4", "--extract-html"])
         assert a.profile == "full" and a.dedup_near == "minhash"
         assert a.near_threshold == 0.4 and a.near_min_shared == 3
+        assert a.extract_html is True
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--dedup-near", "simhash"])  # not a generator

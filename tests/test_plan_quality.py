@@ -54,6 +54,21 @@ class TestPlanQuality:
         # in the tree and once in the detail section)
         assert plan.count("Location: InMemoryFileIndex") == 1
 
+    def test_full_profile_pipeline_no_exchange(self, spark):
+        """--profile full keeps the flagship's plan shape: all 16 rules +
+        their Gopher/C4 features are still ONE projection over ONE scan —
+        zero shuffles (the 2.1x cost vs the default profile is live
+        expression work, not plan regression)."""
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+        from mysql_data_quality_spark.rules.heuristics import FULL_RULES
+
+        plan = _plan(
+            QF.decisions(P.read_pages(spark, SF_CORRECT), rules=FULL_RULES)
+        )
+        assert "Exchange" not in plan
+        assert plan.count("Location: InMemoryFileIndex") == 1
+
     def test_lsh_near_pairs_no_cartesian(self, spark):
         """The bucketed near-pair plan must be hash joins on short keys —
         never a cartesian/nested-loop product (that is the O(n²) oracle's

@@ -1,0 +1,212 @@
+"""HTML → text extraction and deterministic hash-based corpus
+sampling/splitting: hand vectors, DuckDB exact-row parity, determinism
+under repartitioning, and the monotone-threshold property."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.functions import htmltext
+from mysql_data_quality_spark.operators import sampling
+from tests.conftest import SF_CORRECT
+
+
+class TestHtmlExtract:
+    VECTORS = [
+        (1, "<html><head><title>T</title><style>p{x}</style></head>"
+            "<body><p>Hello world.</p><p>Second para.</p></body></html>",
+         "T\nHello world.\nSecond para."),
+        (2, "<div>a<br>b</div><script type='x'>var q = '<p>';</script>c",
+         "a\nb\nc"),
+        (3, "<!-- hidden --><b>bold</b> &amp;lt; &lt; &gt; &nbsp;&quot;q&quot; &#39;s&#39;",
+         'bold &lt; < > "q" \'s\''),
+        (4, "plain text, no markup at all", "plain text, no markup at all"),
+        (5, "", ""),
+        (6, None, ""),
+        (7, "<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+    ]
+
+    def test_vectors_and_duckdb_parity(self, spark, duck):
+        rows = [
+            (i, h.encode("utf-8") if h is not None else None)
+            for i, h, _ in self.VECTORS
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, html: binary")
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", htmltext.extract_text_col(F.col("html")).alias("t")
+            ).collect()
+        }
+        for i, _, want in self.VECTORS:
+            assert got[i] == want, (i, got[i])
+        duck.register("html_t", pd.DataFrame(rows, columns=["id", "html"]))
+        for i, t in duck.sql(
+            f"select id, {htmltext.extract_text_sql('html')} from html_t"
+        ).fetchall():
+            assert got[i] == t, (i, t)
+
+    def test_pages_with_extracted_text(self, spark):
+        """Non-null text stays byte-identical; null text fills from html;
+        the filter runs end-to-end over the extracted column."""
+        from mysql_data_quality_spark.pipeline import pages as P
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        rows = [
+            ("u1", "pre-extracted text stays exactly as is",
+             b"<p>ignored html</p>"),
+            ("u2", None,
+             "<p>The quick brown fox jumps over the lazy dog today.</p>"
+             "<script>drop()</script>".encode()),
+        ]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string, html: binary")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+        )
+        out = {
+            r["url"]: r["text"]
+            for r in P.pages_with_extracted_text(pages).collect()
+        }
+        assert out["u1"] == "pre-extracted text stays exactly as is"
+        assert out["u2"] == (
+            "The quick brown fox jumps over the lazy dog today."
+        )
+        dec = QF.decisions(P.pages_with_extracted_text(pages)).collect()
+        assert {r["url"] for r in dec} == {"u1", "u2"}
+
+    def test_cli_extract_html(self, spark, tmp_path, monkeypatch, capsys):
+        """filter --extract-html: WARC-payload-only rows get extracted
+        text and flow through the pipeline."""
+        import json
+
+        from mysql_data_quality_spark import cli
+
+        html = ("<p>The quick brown fox jumps over the lazy dog and "
+                "keeps writing perfectly normal sentences today.</p>"
+                "<script>nav()</script>").encode()
+        rows = [("u1", None, html)]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string, html: binary")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+        )
+        monkeypatch.chdir(tmp_path)
+        inp = str(tmp_path / "in")
+        pages.write.parquet(inp)
+        out = str(tmp_path / "out")
+        rc = cli.main(["filter", "--input", inp, "--output", out,
+                       "--buckets", "2", "--extract-html"])
+        assert rc == 0
+        got = spark.read.parquet(f"{out}/data").collect()
+        assert len(got) == 1 and got[0]["scrubbed_text"].startswith(
+            "The quick brown fox"
+        )
+
+
+class TestHashSampling:
+    def test_sample_duckdb_exact_rows_and_partition_invariance(
+        self, spark, duck
+    ):
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.hash_sample(docs, "doc_id", 0.3, seed=7)
+            .select("doc_id")
+            .collect()
+        )
+        repart = sorted(
+            r["doc_id"]
+            for r in sampling.hash_sample(
+                docs.repartition(13), "doc_id", 0.3, seed=7
+            )
+            .select("doc_id")
+            .collect()
+        )
+        assert got == repart  # membership independent of partitioning
+        oracle = sorted(
+            r[0]
+            for r in duck.sql(
+                "select doc_id from ("
+                + sampling.hash_sample_sql("documents", "doc_id", 0.3, seed=7)
+                + ")"
+            ).fetchall()
+        )
+        assert got == oracle  # EXACT row set, not just the rate
+        n = docs.count()
+        assert 0.2 * n < len(got) < 0.4 * n  # rate sanity
+        # monotone thresholds: raising the fraction gives a SUPERSET
+        more = set(
+            r["doc_id"]
+            for r in sampling.hash_sample(docs, "doc_id", 0.6, seed=7)
+            .select("doc_id")
+            .collect()
+        )
+        assert set(got) <= more
+        with pytest.raises(ValueError, match="fraction"):
+            sampling.hash_sample(docs, "doc_id", 1.5)
+
+    def test_stratified_sample_duckdb_parity(self, spark, duck):
+        """Source mixing: per-stratum keep rates over the documents table
+        (strata = source), exact row set matching DuckDB."""
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.stratified_sample(
+                docs, "doc_id", "source", fr, default=0.1, seed=3
+            ).select("doc_id").collect()
+        )
+        oracle = sorted(
+            r[0]
+            for r in duck.sql(
+                "select doc_id from ("
+                + sampling.stratified_sample_sql(
+                    "documents", "doc_id", "source", fr, default=0.1, seed=3
+                )
+                + ")"
+            ).fetchall()
+        )
+        assert got == oracle and len(got) > 0
+        # rate semantics: every src0 kept, no src2, ~half of src1
+        by_src = {
+            r["source"]: r["n"]
+            for r in sampling.stratified_sample(
+                docs, "doc_id", "source", fr, default=0.1, seed=3
+            ).groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        total = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src["src0"] == total["src0"]
+        assert "src2" not in by_src
+        assert 0.2 * total["src1"] < by_src.get("src1", 0) < 0.8 * total["src1"]
+
+    def test_hash_split_disjoint_exhaustive_and_parity(self, spark, duck):
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        split = sampling.hash_split(docs, "doc_id", seed=1)
+        got = {
+            r["doc_id"]: r["split"]
+            for r in split.select("doc_id", "split").collect()
+        }
+        assert len(got) == docs.count()  # exhaustive, one row per doc
+        oracle = dict(
+            duck.sql(
+                "select doc_id, split from ("
+                + sampling.hash_split_sql("documents", "doc_id", seed=1)
+                + ")"
+            ).fetchall()
+        )
+        assert got == oracle
+        from collections import Counter
+
+        c = Counter(got.values())
+        n = len(got)
+        assert set(c) <= {"train", "val", "test"}
+        assert c["train"] > 0.8 * n  # ~0.9
+        assert c["val"] + c["test"] == n - c["train"]
+        with pytest.raises(ValueError, match="sum to 1"):
+            sampling.hash_split(docs, "doc_id", (("a", 0.5), ("b", 0.4)))
