@@ -257,3 +257,81 @@ def test_fuzz_dedup_exact_corpus_duplicate_ids(spark):
             ).fetchall()
         )
         assert got == want, f"{keep}: {len(got)} vs {len(want)}"
+
+
+def test_fuzz_full_profile_decisions_match_oracle(spark, fuzz_pages):
+    """The FULL profile (every Gopher/C4 rule live) through the same
+    adversarial corpus: 6 more rule expressions (line/paragraph/n-gram
+    repetition, C4 line filter + page predicates) must stay byte-equal
+    to the oracle on regex metacharacters, unicode, pathological
+    whitespace, and huge tokens."""
+    from mysql_data_quality_spark.rules.heuristics import FULL_RULES
+
+    dec = QF.decisions(fuzz_pages, rules=FULL_RULES).orderBy("url").toPandas()
+    pdf = fuzz_pages.orderBy("url").toPandas()
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    oracle = con.sql(
+        QF.decisions_sql("pages", rules=FULL_RULES) + " order by url"
+    ).df()
+    assert len(dec) == len(oracle) == 300
+    for c in dec.columns:
+        mism = (dec[c].values != oracle[c].values)
+        assert not mism.any(), (
+            f"{c}: first mismatch at "
+            f"{dec['url'].values[mism.argmax()]}: "
+            f"spark={dec[c].values[mism.argmax()]!r} "
+            f"oracle={oracle[c].values[mism.argmax()]!r}"
+        )
+
+
+def test_fuzz_html_extraction_matches_oracle(spark):
+    """Adversarial HTML (unclosed tags, angle brackets in text, entities,
+    nested/repeated blocks, random printable noise) — extraction must be
+    byte-equal across engines."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from mysql_data_quality_spark.functions import htmltext
+
+    rng = random.Random(90210)
+    frags = [
+        "<p>alpha beta.</p>", "<div class='x'>gamma</div>", "<br>",
+        "<script>if (a < b) { x(); }</script>", "<style>p { color: red }</style>",
+        "<!-- note -->", "&amp;", "&lt;tag&gt;", "&nbsp;", "plain words here",
+        "2 < 3 and 5 > 4", "<b>bold", "</b>", "<ul><li>i1</li><li>i2</li></ul>",
+        "<SCRIPT>SHOUT()</SCRIPT>", "<P ALIGN=left>Caps.</P>",
+    ]
+    rows = []
+    for i in range(200):
+        k = rng.randint(0, 12)
+        doc = " ".join(rng.choice(frags) for _ in range(k))
+        if rng.random() < 0.08:
+            doc = "".join(
+                ch for ch in (
+                    rng.choice(string.printable)
+                    for _ in range(rng.randint(0, 60))
+                )
+                # keep it valid UTF-8 + printable; strip \x0b etc handled
+            )
+        rows.append((i, doc.encode("utf-8")))
+    df = spark.createDataFrame(rows, "i: bigint, html: binary")
+    got = (
+        df.select("i", htmltext.extract_text_col(F.col("html")).alias("t"))
+        .orderBy("i")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t0", pd.DataFrame(rows, columns=["i", "html"]))
+    oracle = con.sql(
+        f"select i, {htmltext.extract_text_sql('html')} as t "
+        "from t0 order by i"
+    ).df()
+    mism = got["t"].values != oracle["t"].values
+    assert not mism.any(), (
+        f"first mismatch i={got['i'].values[mism.argmax()]}: "
+        f"spark={got['t'].values[mism.argmax()]!r} "
+        f"oracle={oracle['t'].values[mism.argmax()]!r}"
+    )
