@@ -260,6 +260,25 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
+        decon = getattr(args, "decontaminate", None)
+        if decon:
+            # benchmark decontamination: drop documents sharing any
+            # n-gram with the held-out eval set.  Composes after exact
+            # dedup (fewer docs to gram) and before the fuzzy stage /
+            # filter; order never changes the result — contamination is
+            # a per-document content property, so a contaminated dedup
+            # winner is dropped here all the same.
+            from mysql_data_quality_spark.operators.decontaminate import (
+                decontaminated_corpus,
+            )
+
+            pages = decontaminated_corpus(
+                pages,
+                spark.read.parquet(decon),
+                n=args.decontaminate_ngram,
+                corpus_id="url",
+                corpus_text="text",
+            )
         if near:
             # FUZZY dedup stage (the near-dup pass every real training
             # pipeline runs after exact dedup): sub-quadratic candidate
@@ -552,6 +571,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="fill missing text from the raw html payload (regex "
         "visible-text extraction, pure Column exprs) before the rules",
+    )
+    f.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="EVAL_PARQUET",
+        help="drop documents sharing any word n-gram with this held-out "
+        "eval set (parquet with a text column) — benchmark leakage "
+        "hygiene; the eval gram set broadcasts",
+    )
+    f.add_argument(
+        "--decontaminate-ngram",
+        type=int,
+        default=13,
+        help="n-gram size for --decontaminate (13 = the GPT-3 recipe)",
     )
     f.set_defaults(fn=cmd_filter)
 

@@ -1,0 +1,141 @@
+"""Benchmark decontamination: flag (and drop) training documents that
+contain any n-gram from a held-out evaluation set — the standard
+pre-training hygiene stage (GPT-3 appendix C / Llama-style 13-gram
+overlap checks).  A training corpus that leaks eval n-grams inflates
+benchmark scores; this operator removes the leak at corpus-build time.
+
+Scale shape (the near-dup discipline, applied to eval overlap):
+
+* the EVAL side is tiny by definition (benchmarks are thousands of
+  documents, not billions) — its distinct n-gram set builds once and
+  rides a BROADCAST to every executor;
+* the CORPUS side explodes to (doc_id, gram-hash) rows — ids and 8-byte
+  hashes only, document text never leaves its scan — and the overlap
+  join is a broadcast semi/inner join, so the corpus is never shuffled;
+* `decontaminated_corpus` anti-joins the contaminated ids out — the id
+  list is small (contamination is rare), so Spark broadcasts it and the
+  corpus stays shuffle-free end to end.
+
+Grams are word-level (the shared whitespace tokenizer, lowercased),
+matching the published recipes; ``n`` defaults to 13 (GPT-3's value).
+Short documents with fewer than n tokens cannot be flagged (no gram).
+The DuckDB twins replay the exact string-gram logic, so both the flag
+list and the surviving corpus are hash-comparable at tiny scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.functions.text import WS_RE
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(doc_id, gram) rows — distinct per document; grams built with the
+    zip-with chain (ngrams_col), lowercased tokens."""
+    from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    grams = F.array_distinct(ngrams_col(toks, n))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> DataFrame:
+    """(doc_id, n_eval_grams_hit): corpus documents sharing at least one
+    word n-gram with ANY eval document, with the count of distinct eval
+    grams they hit.  The eval gram set broadcasts (eval sets are small);
+    the corpus side exchanges ids + gram hashes only."""
+    from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
+
+    eval_grams = eval_df.select(
+        F.explode(
+            F.array_distinct(
+                ngrams_col(tokens_col(F.lower(F.col(eval_text))), n)
+            )
+        ).alias("gram")
+    ).distinct()
+    corpus_grams = _gram_rows(corpus, corpus_id, corpus_text, n)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_eval_grams_hit"))
+    )
+
+
+def contaminated_docs_sql(
+    corpus_rel: str,
+    eval_rel: str,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> str:
+    def toks(text: str) -> str:
+        return (
+            f"list_filter(regexp_split_to_array(trim(lower(coalesce({text}, ''))), "
+            f"'{WS_RE}'), t -> len(t) > 0)"
+        )
+
+    def grams_list(text: str) -> str:
+        t = toks(text)
+        return (
+            f"list_distinct(case when len({t}) >= {n} then "
+            f"[array_to_string(({t})[i:i+{n - 1}], ' ') "
+            f"for i in range(1, len({t}) - {n} + 2)] else [] end)"
+        )
+
+    return f"""
+with cg as (
+  select {corpus_id} as doc_id, unnest({grams_list(corpus_text)}) as gram
+  from {corpus_rel}
+), eg as (
+  select distinct unnest({grams_list(eval_text)}) as gram from {eval_rel}
+)
+select cg.doc_id, count(distinct cg.gram) as n_eval_grams_hit
+from cg join eg on cg.gram = eg.gram
+group by cg.doc_id
+"""
+
+
+def decontaminated_corpus(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> DataFrame:
+    """The corpus minus every contaminated document.  The flagged-id list
+    is near-dup-sized (small), so the anti join broadcasts it and the
+    corpus never shuffles — same plan shape as deduplicated_corpus."""
+    flagged = contaminated_docs(
+        corpus, eval_df, n, corpus_id, corpus_text, eval_text
+    ).select(F.col("doc_id").alias(corpus_id))
+    return corpus.join(F.broadcast(flagged), on=corpus_id, how="left_anti")
+
+
+def decontaminated_corpus_sql(
+    corpus_rel: str,
+    eval_rel: str,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> str:
+    flagged = contaminated_docs_sql(
+        corpus_rel, eval_rel, n, corpus_id, corpus_text, eval_text
+    )
+    return (
+        f"select * from {corpus_rel} where {corpus_id} not in ("
+        f"select doc_id from ({flagged}))"
+    )

@@ -73,6 +73,11 @@ class TestCli:
         assert a.profile == "full" and a.dedup_near == "minhash"
         assert a.near_threshold == 0.4 and a.near_min_shared == 3
         assert a.extract_html is True
+        a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--decontaminate", "/eval.parquet",
+                          "--decontaminate-ngram", "8"])
+        assert a.decontaminate == "/eval.parquet"
+        assert a.decontaminate_ngram == 8
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--dedup-near", "simhash"])  # not a generator

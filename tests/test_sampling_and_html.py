@@ -210,3 +210,129 @@ class TestHashSampling:
         assert c["val"] + c["test"] == n - c["train"]
         with pytest.raises(ValueError, match="sum to 1"):
             sampling.hash_split(docs, "doc_id", (("a", 0.5), ("b", 0.4)))
+
+
+class TestDecontamination:
+    def test_ngram_overlap_semantics(self, spark):
+        """Exact n-gram containment flags; (n-1)-token overlap doesn't;
+        matching is lowercased + whitespace-normalized; short docs safe."""
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        bench = "What is the capital of France Paris obviously"  # 8 tokens
+        rows = [
+            (1, "intro words then " + bench + " and trailing text"),
+            (2, "intro " + " ".join(bench.split()[:7]) + " different tail"),
+            (3, "WHAT  IS THE CAPITAL\tOF FRANCE PARIS OBVIOUSLY"),
+            (4, "too short"),
+            (5, "completely unrelated content about spark shuffles"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        eval_df = spark.createDataFrame([(bench,)], "text: string")
+        flagged = {
+            r["doc_id"]: r["n_eval_grams_hit"]
+            for r in D.contaminated_docs(corpus, eval_df, n=8).collect()
+        }
+        assert set(flagged) == {1, 3}
+        assert flagged[1] == 1 and flagged[3] == 1
+        kept = sorted(
+            r["doc_id"]
+            for r in D.decontaminated_corpus(corpus, eval_df, n=8)
+            .select("doc_id").collect()
+        )
+        assert kept == [2, 4, 5]
+
+    def test_duckdb_parity_on_documents(self, spark, duck):
+        """Eval set = token slices of real documents — flag list and
+        surviving corpus must match DuckDB exactly (n=5 so hits exist)."""
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        # deterministic eval set: middle 10 tokens of every 41st doc
+        eval_rows = [
+            (" ".join((r["text"] or "").split()[5:15]),)
+            for r in docs.where(F.col("doc_id") % 41 == 0).collect()
+        ]
+        eval_df = spark.createDataFrame(eval_rows, "text: string")
+        got = sorted(
+            (r["doc_id"], r["n_eval_grams_hit"])
+            for r in D.contaminated_docs(docs, eval_df, n=5).collect()
+        )
+        duck.register(
+            "eval_t", pd.DataFrame(eval_rows, columns=["text"])
+        )
+        want = sorted(
+            (a, b)
+            for a, b in duck.sql(
+                D.contaminated_docs_sql("documents", "eval_t", n=5)
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+        kept = sorted(
+            r["doc_id"]
+            for r in D.decontaminated_corpus(docs, eval_df, n=5)
+            .select("doc_id").collect()
+        )
+        kept_want = sorted(
+            r[0]
+            for r in duck.sql(
+                "select doc_id from ("
+                + D.decontaminated_corpus_sql("documents", "eval_t", n=5)
+                + ")"
+            ).fetchall()
+        )
+        assert kept == kept_want
+        assert len(kept) + len(got) == docs.count()
+
+    def test_corpus_never_shuffles(self, spark):
+        """Both the overlap join and the final anti join broadcast the
+        small side — corpus text must not ride any Exchange."""
+        import re
+
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        # local eval frame (a limit() would add its own tiny eval-side
+        # SinglePartition exchange and muddy the corpus-text assertion)
+        eval_df = spark.createDataFrame(
+            [("some benchmark question with several more words here",)],
+            "text: string",
+        )
+        df = D.decontaminated_corpus(docs, eval_df, n=5)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" in plan
+        for b in re.split(r"\n\n", plan):
+            if re.match(r"\(\d+\) Exchange", b.strip()):
+                assert not re.search(r"\btext#", b), b
+
+    def test_cli_decontaminate(self, spark, tmp_path, monkeypatch, capsys):
+        """filter --decontaminate: a corpus doc containing an eval
+        n-gram never reaches the decisions table."""
+        from mysql_data_quality_spark import cli
+
+        bench = ("what is the answer to this benchmark question about "
+                 "rivers and mountains")
+        rows = [
+            ("u1", "perfectly fine document with normal words that "
+                   "pass the rules easily and say nothing leaked."),
+            ("u2", "sneaky training doc embedding " + bench + " inside."),
+        ]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+        monkeypatch.chdir(tmp_path)
+        inp, ev, out = (str(tmp_path / d) for d in ("in", "eval", "out"))
+        pages.write.parquet(inp)
+        spark.createDataFrame([(bench,)], "text: string").write.parquet(ev)
+        rc = cli.main(["filter", "--input", inp, "--output", out,
+                       "--buckets", "2", "--decontaminate", ev,
+                       "--decontaminate-ngram", "8"])
+        assert rc == 0
+        urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
+        assert urls == {"u1"}
