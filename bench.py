@@ -345,6 +345,29 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
 
     clock("qf_dedup_near_pipeline", _near_pipeline)
 
+    # benchmark decontamination over the full expanded corpus: eval set =
+    # token slices of every 97th raw doc (so hits exist), n=13 grams.
+    # The corpus side explodes ~(tokens-12) gram rows per doc against a
+    # broadcast eval gram set — the 100 TB plan shape, measured here.
+    from mysql_data_quality_spark.operators.decontaminate import (
+        decontaminated_corpus,
+    )
+
+    def _decon():
+        docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs0.where(F.col("doc_id") % 97 == 0).select(
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 5, 20), " "
+            ).alias("text")
+        )
+        _force(
+            decontaminated_corpus(
+                pages, ev, n=13, corpus_id="url", corpus_text="text"
+            ).select("url")
+        )
+
+    clock("decontaminate", _decon)
+
     # near-dup benches run on the raw documents table: the replica-expanded
     # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
     # near-copies), which measures pair-list size, not the operator.
