@@ -32,12 +32,21 @@ from mysql_data_quality_spark.functions.text import WS_RE
 
 
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
-    """(doc_id, gram) rows — distinct per document; grams built with the
-    zip-with chain (ngrams_col), lowercased tokens."""
+    """(doc_id, gram) rows — distinct per document, grams HASHED to
+    xxhash64 longs at the explode, so the join key, the broadcast, and
+    the count-distinct shuffle all carry 8 bytes instead of ~80-byte
+    n-gram strings (13-word grams).  A 64-bit collision could flag a
+    clean document (false positive — the conservative direction for
+    decontamination) with probability ~|eval grams| x |doc grams| / 2^64
+    per document: negligible at any real eval-set size.  The DuckDB twin
+    joins the strings themselves; results agree barring such collisions
+    (exact-parity-tested at gate scale)."""
     from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
 
     toks = tokens_col(F.lower(F.col(text_col)))
-    grams = F.array_distinct(ngrams_col(toks, n))
+    grams = F.array_distinct(
+        F.transform(ngrams_col(toks, n), lambda g: F.xxhash64(g))
+    )
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
     )
@@ -55,15 +64,11 @@ def contaminated_docs(
     word n-gram with ANY eval document, with the count of distinct eval
     grams they hit.  The eval gram set broadcasts (eval sets are small);
     the corpus side exchanges ids + gram hashes only."""
-    from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
-
-    eval_grams = eval_df.select(
-        F.explode(
-            F.array_distinct(
-                ngrams_col(tokens_col(F.lower(F.col(eval_text))), n)
-            )
-        ).alias("gram")
-    ).distinct()
+    eval_grams = (
+        _gram_rows(eval_df, eval_text, eval_text, n)
+        .select("gram")
+        .distinct()
+    )
     corpus_grams = _gram_rows(corpus, corpus_id, corpus_text, n)
     return (
         corpus_grams.join(F.broadcast(eval_grams), on="gram")
