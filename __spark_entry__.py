@@ -138,9 +138,11 @@ def _stressed_text_col():
         .when(F.length("url") % 4 == 1, F.lit(" brace { sample"))
         .otherwise(F.lit(""))
     )
-    # bucket 2 stays SINGLE-line and gains a C4-terminal ending, so the
-    # full profile's `keep` is differential (not an all-drop gate):
-    # those docs pass c4_line_quality and survive unless another rule hits
+    # bucket 3 (length(url) % 4 == 3) stays SINGLE-line and gains a
+    # C4-terminal ending, so the full profile's `keep` is differential
+    # (not an all-drop gate): those docs pass c4_line_quality and survive
+    # unless another rule hits.  Bucket 2 keeps the plain multi-line
+    # reshape with no marker.
     return F.when(
         F.length("url") % 4 == 3,
         F.concat(F.col("text"), F.lit(". the page ends properly.")),

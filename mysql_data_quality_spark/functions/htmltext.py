@@ -21,6 +21,13 @@ Ordering contract (pinned by tests): comments → script → style → block
 tags → all tags → entities (``&amp;`` LAST, so ``&amp;lt;`` decodes to
 the literal ``&lt;`` exactly once, the standard single-pass unescape) →
 whitespace collapse.  No backreferences (RE2 has none), no lookbehind.
+
+Encoding precondition: the payload must be valid UTF-8 for cross-engine
+parity — Spark's ``decode(..., 'UTF-8')`` substitutes U+FFFD on
+malformed bytes and keeps going, while DuckDB's ``decode(blob)`` RAISES
+on them, so the SQL twin only mirrors the Column form on well-formed
+input (crawl payloads in other encodings should be transcoded at
+ingest; the Spark side alone degrades gracefully either way).
 """
 
 from __future__ import annotations

@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysql_data_quality_spark.functions.text import WS_RE
-
 
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     """(doc_id, gram) rows — distinct per document, grams HASHED to
@@ -85,14 +83,12 @@ def contaminated_docs_sql(
     corpus_text: str = "text",
     eval_text: str = "text",
 ) -> str:
-    def toks(text: str) -> str:
-        return (
-            f"list_filter(regexp_split_to_array(trim(lower(coalesce({text}, ''))), "
-            f"'{WS_RE}'), t -> len(t) > 0)"
-        )
+    from mysql_data_quality_spark.functions.text import tokens_sql
 
     def grams_list(text: str) -> str:
-        t = toks(text)
+        # lower(NULL) is NULL, so tokens_sql's coalesce placement is
+        # equivalent — ONE tokenizer definition for all oracles
+        t = tokens_sql(f"lower({text})")
         return (
             f"list_distinct(case when len({t}) >= {n} then "
             f"[array_to_string(({t})[i:i+{n - 1}], ' ') "

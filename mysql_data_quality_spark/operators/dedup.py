@@ -1049,14 +1049,19 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
 
     Crash safety: root files are renamed one-by-one into a hidden
     ``_tmp-legacy-*`` staging dir (invisible to readers), which is then
-    atomically renamed to ``run=legacy-*``.  A crash mid-fold leaves
-    some root files + a hidden staging dir; the next call folds the
-    remainder into a second legacy run — hashes split across runs are
-    equivalent to the anti-join probe.  A crash between staging and the
-    final rename leaves those hashes invisible, so that batch's docs
-    re-emit and dedup downstream — at-least-once, never silent loss.
+    atomically renamed to ``run=legacy-*``.  Unlike ``_tmp-<run>``
+    commit staging (uncommitted data, safe to delete), a fold staging
+    dir holds data that WAS committed in the flat layout — so a crashed
+    fold is RESUMED here, never discarded: any leftover
+    ``_tmp-legacy-*`` dir is promoted to its ``run=legacy-*`` name
+    first (completing the crashed fold's rename), and remaining root
+    files fold into a fresh legacy run.  This runs before every history
+    read AND at the top of ``compact_history``, so the cleanup paths
+    that delete ``_tmp-*`` staging can never see (and destroy) folded
+    committed history — hashes split across legacy runs are equivalent
+    to the anti-join probe.
 
-    Returns True if anything was folded."""
+    Returns True if anything was folded/resumed."""
     import uuid
 
     jvm = spark._jvm
@@ -1064,6 +1069,18 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
     fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath(history_dir)):
         return False
+    resumed = False
+    for status in fs.listStatus(hpath(history_dir)):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("_tmp-legacy-"):
+            # crashed fold: its contents are committed flat-layout data —
+            # complete the rename it never got to
+            final = hpath(f"{history_dir}/run={name[len('_tmp-'):]}")
+            if not fs.rename(status.getPath(), final):
+                raise IOError(
+                    f"legacy-history fold resume: rename failed for {name}"
+                )
+            resumed = True
     legacy_files = [
         status.getPath()
         for status in fs.listStatus(hpath(history_dir))
@@ -1071,7 +1088,7 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
         and not status.getPath().getName().startswith(("_", "."))
     ]
     if not legacy_files:
-        return False
+        return resumed
     fold_id = f"legacy-{uuid.uuid4().hex[:12]}"
     staging = hpath(f"{history_dir}/_tmp-{fold_id}")
     fs.mkdirs(staging)

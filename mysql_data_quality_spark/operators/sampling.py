@@ -96,9 +96,13 @@ def stratified_sample_sql(
     default: float = 0.0,
     seed: int = 0,
 ) -> str:
-    # chained CASE in the SAME (sorted) order as the Column form
+    # chained CASE in the SAME (sorted) order as the Column form;
+    # stratum names are SQL-escaped (the Column form's F.lit handles any
+    # string — the pair must too, r5 review)
     whens = " ".join(
-        f"when {strata_expr} = '{name}' then {float(p)!r}"
+        "when {s} = '{n}' then {p!r}".format(
+            s=strata_expr, n=name.replace("'", "''"), p=float(p)
+        )
         for name, p in sorted(fractions.items(), reverse=True)
     )
     # NOTE: the Column form folds sorted-ascending via nested otherwise,
@@ -158,6 +162,8 @@ def hash_split_sql(
     *head, (last_name, _) = fractions
     for name, p in head:
         cum += p
-        whens.append(f"when {u} < {cum!r} then '{name}'")
-    case = f"case {' '.join(whens)} else '{last_name}' end"
+        esc = name.replace("'", "''")
+        whens.append(f"when {u} < {cum!r} then '{esc}'")
+    last_esc = last_name.replace("'", "''")
+    case = f"case {' '.join(whens)} else '{last_esc}' end"
     return f"select *, {case} as {out_col} from {rel}"

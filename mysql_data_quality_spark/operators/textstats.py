@@ -319,6 +319,40 @@ def winnowing_fingerprints(
     ).drop("_i")
 
 
+def _winnowing_fps_cte_sql(
+    docs_rel: str, id_col: str, text_col: str, k: int, w: int
+) -> str:
+    """Shared CTE block (nm → gr → fps) replaying the winnowing-md5
+    selection in DuckDB — the ONE definition both md5 oracle builders
+    append their projection/join to, so the algorithm cannot drift
+    between gate entries (r5 review)."""
+    from mysql_data_quality_spark.operators.dedup import (
+        md5_int60_sql,
+        normalized_text_sql,
+    )
+
+    norm = normalized_text_sql(text_col)
+    gram = md5_int60_sql(f"substr(norm, i, {k})")
+    return f"""nm as (
+  select {id_col} as doc_id, {norm} as norm from {docs_rel}
+), gr as (
+  select doc_id,
+         case when len(norm) >= {k} then
+           [{gram} for i in range(1, len(norm) - {k} + 2)]
+         else [] end as grams
+  from nm
+), fps as (
+  select doc_id,
+         case when len(grams) >= {w} then
+           list_sort(list_distinct(
+             [list_min(grams[j:j+{w - 1}]) for j in range(1, len(grams) - {w} + 2)]
+           ))
+         when len(grams) > 0 then [list_min(grams)]
+         else [] end as fingerprints
+  from gr
+)"""
+
+
 def winnowing_fingerprints_md5_sql(
     docs_rel: str,
     id_col: str = "doc_id",
@@ -336,32 +370,8 @@ def winnowing_fingerprints_md5_sql(
 
     Assumes unique ``id_col`` in ``docs_rel`` (true for the gate's
     documents table); the Spark side needs no such assumption."""
-    from mysql_data_quality_spark.operators.dedup import (
-        md5_int60_sql,
-        normalized_text_sql,
-    )
-
-    norm = normalized_text_sql(text_col)
-    gram = md5_int60_sql(f"substr(norm, i, {k})")
     return f"""
-with nm as (
-  select {id_col} as doc_id, {norm} as norm from {docs_rel}
-), gr as (
-  select doc_id,
-         case when len(norm) >= {k} then
-           [{gram} for i in range(1, len(norm) - {k} + 2)]
-         else [] end as grams
-  from nm
-), fps as (
-  select doc_id,
-         case when len(grams) >= {w} then
-           list_sort(list_distinct(
-             [list_min(grams[j:j+{w - 1}]) for j in range(1, len(grams) - {w} + 2)]
-           ))
-         when len(grams) > 0 then [list_min(grams)]
-         else [] end as fingerprints
-  from gr
-)
+with {_winnowing_fps_cte_sql(docs_rel, id_col, text_col, k, w)}
 select doc_id,
        cast(len(fingerprints) as bigint) as n_fingerprints,
        fingerprints[1] as min_fingerprint,
@@ -447,36 +457,13 @@ def fingerprint_duplicate_pairs_md5_sql(
 ) -> str:
     """DuckDB twin of ``fingerprint_duplicate_pairs(...,
     gram_hash="md5_60bit", max_fingerprint_df=None)``: the winnowing-md5
-    fingerprints (same selection algorithm) exploded and self-joined —
-    the substring-level near-dup PAIR logic under hash compare.  No
+    fingerprints (same selection algorithm, shared CTE —
+    :func:`_winnowing_fps_cte_sql`) exploded and self-joined — the
+    substring-level near-dup PAIR logic under hash compare.  No
     hot-fingerprint cap (the oracle is the exact form, like the other
     tiny-scale oracles)."""
-    from mysql_data_quality_spark.operators.dedup import (
-        md5_int60_sql,
-        normalized_text_sql,
-    )
-
-    norm = normalized_text_sql(text_col)
-    gram = md5_int60_sql(f"substr(norm, i, {k})")
     return f"""
-with nm as (
-  select {id_col} as doc_id, {norm} as norm from {docs_rel}
-), gr as (
-  select doc_id,
-         case when len(norm) >= {k} then
-           [{gram} for i in range(1, len(norm) - {k} + 2)]
-         else [] end as grams
-  from nm
-), fps as (
-  select doc_id,
-         case when len(grams) >= {w} then
-           list_sort(list_distinct(
-             [list_min(grams[j:j+{w - 1}]) for j in range(1, len(grams) - {w} + 2)]
-           ))
-         when len(grams) > 0 then [list_min(grams)]
-         else [] end as fingerprints
-  from gr
-), ex as (
+with {_winnowing_fps_cte_sql(docs_rel, id_col, text_col, k, w)}, ex as (
   select doc_id, unnest(fingerprints) as fp from fps
 )
 select a.doc_id as doc_a, b.doc_id as doc_b,

@@ -99,6 +99,12 @@ class ArpaModel:
     #: the optional kenlm executor-side fast path; must be readable on
     #: executors (ship real models via spark-submit --files)
     source_path: Optional[str] = None
+    #: True when lowercase=True folding actually CHANGED at least one
+    #: n-gram key during parsing.  kenlm loads the raw (cased) file, so
+    #: with a folded table the two scorers would diverge materially
+    #: (folded query tokens score <unk> against the cased kenlm model) —
+    #: the fast path is disabled for such models (r5 review).
+    case_folded: bool = False
 
     @property
     def order(self) -> int:
@@ -227,6 +233,7 @@ def parse_arpa_lines(
         {} for _ in counts
     ]
     seen_lines = [0] * len(counts)
+    any_folded = False
 
     def set_section(marker: str) -> int:
         s = int(marker[1:].split("-", 1)[0])
@@ -252,9 +259,12 @@ def parse_arpa_lines(
         logp_s, words, backoff_s = _parse_entry(line, section)
         logp = float(logp_s) * _LN10
         if lowercase:
-            words = tuple(
+            folded_words = tuple(
                 w if w in _MARKERS else w.lower() for w in words
             )
+            if folded_words != words:
+                any_folded = True
+            words = folded_words
         if len(words) != section:
             raise ValueError(
                 f"ARPA: {len(words)}-gram {words!r} in \\{section}-grams:"
@@ -281,6 +291,7 @@ def parse_arpa_lines(
         unk_ln=unk[0] if unk is not None else _DEFAULT_UNK_LN,
         lowercase=lowercase,
         counts=tuple(counts),
+        case_folded=any_folded,
     )
 
 
@@ -310,17 +321,23 @@ _KENLM_CACHE: dict = {}
 
 def _load_kenlm(path: str):
     """Import kenlm and load/cache the model; ``None`` when the bindings
-    are not installed (the sandbox case) — caller falls back to the
-    pure-Python scorer.  Same honest-gating pattern as the multimodal
-    decode kernels and the Iceberg runtime jar."""
+    are not installed (the sandbox case) OR the model file cannot be
+    loaded on THIS process (e.g. a driver-local path that was never
+    shipped to the executor — the broadcast pure-Python tables are the
+    supported transport there), so the caller always falls back to the
+    pure-Python scorer instead of failing the job (r5 review).  The
+    failure is cached per path to avoid a reload attempt per batch.
+    Same honest-gating pattern as the multimodal decode kernels and the
+    Iceberg runtime jar."""
     try:
-        import kenlm  # noqa: F401
+        import kenlm
     except ImportError:
         return None
     if path not in _KENLM_CACHE:
-        import kenlm
-
-        _KENLM_CACHE[path] = kenlm.Model(path)
+        try:
+            _KENLM_CACHE[path] = kenlm.Model(path)
+        except Exception:
+            _KENLM_CACHE[path] = None
     return _KENLM_CACHE[path]
 
 
@@ -347,6 +364,31 @@ def _kenlm_avg_logprob(km, m: "ArpaModel", text: Optional[str]) -> float:
     return total / float(events)
 
 
+def _score_texts(
+    m: ArpaModel, texts: "pd.Series", use_kenlm: bool
+) -> "pd.Series":
+    """One Arrow batch through the best available scorer.  The kenlm
+    fast path is taken only when ALL of: the caller allows it, the model
+    knows its source file, lowercase folding did not change the table
+    (case_folded gate, r5 review: kenlm loads the RAW cased file, so a
+    folded table would score folded query tokens as <unk> against it —
+    materially divergent, not last-ulp), and the bindings import + the
+    file loads ON THIS PROCESS — every other case falls back to the
+    pure-Python backoff scorer."""
+    if (
+        use_kenlm
+        and m.source_path is not None
+        and not (m.lowercase and m.case_folded)
+    ):
+        km = _load_kenlm(m.source_path)
+        if km is not None:
+            return pd.Series(
+                [_kenlm_avg_logprob(km, m, t) for t in texts],
+                dtype="float64",
+            )
+    return pd.Series([m.avg_logprob(t) for t in texts], dtype="float64")
+
+
 def avg_logprob_pandas_udf(
     model: ArpaModel, sc=None, use_kenlm: bool = True
 ) -> Column:
@@ -355,12 +397,14 @@ def avg_logprob_pandas_udf(
     broadcast instead of task-closure capture (right for models beyond a
     few MB; mandatory for real web-scale KenLM models).
 
-    Each batch scores through the kenlm C bindings when (a) ``use_kenlm``
-    (default), (b) the model knows its ``source_path``, and (c) ``import
-    kenlm`` succeeds ON THE EXECUTOR — otherwise the pure-Python backoff
+    Each batch scores through the kenlm C bindings when every condition
+    in :func:`_score_texts` holds (caller allows it, ``source_path``
+    known, no lowercase case-folding divergence, bindings import AND the
+    file loads on the executor) — otherwise the pure-Python backoff
     scorer runs (the only option in this sandbox; see the module
     docstring for the cost honesty note).  The decision is made once per
-    executor process and the loaded model is cached per path.
+    executor process and the loaded model (or load failure) is cached
+    per path.
 
     The broadcast is cached on the model instance per SparkContext, so
     repeated ``annotate(lm=model)`` calls in one session reuse ONE
@@ -368,16 +412,7 @@ def avg_logprob_pandas_udf(
     the broadcast handle, never the model itself."""
 
     def score_batch(m: ArpaModel, texts: pd.Series) -> pd.Series:
-        if use_kenlm and m.source_path is not None:
-            km = _load_kenlm(m.source_path)
-            if km is not None:
-                return pd.Series(
-                    [_kenlm_avg_logprob(km, m, t) for t in texts],
-                    dtype="float64",
-                )
-        return pd.Series(
-            [m.avg_logprob(t) for t in texts], dtype="float64"
-        )
+        return _score_texts(m, texts, use_kenlm)
 
     if sc is not None:
         cached = getattr(model, "_bc_cache", None)

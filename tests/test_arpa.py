@@ -297,3 +297,82 @@ class TestKenlmFastPath:
                 m.avg_logprob(text),
                 rel_tol=1e-6,
             ), text
+
+    def test_case_folded_flag_and_gate(self, tmp_path):
+        """r5 review: a model whose lowercase folding CHANGED keys must
+        not take the kenlm path (kenlm loads the raw cased file — folded
+        query tokens would score <unk> against it)."""
+        cased = TINY_ARPA.replace(
+            "-1.0\tthe\t-0.30103",
+            "-1.0\tthe\t-0.30103\n-0.5\tThe\t-0.30103",
+        ).replace("ngram 1=5", "ngram 1=6")
+        assert arpa.parse_arpa(cased).case_folded is True
+        assert arpa.parse_arpa(TINY_ARPA).case_folded is False
+        assert arpa.parse_arpa(cased, lowercase=False).case_folded is False
+        # gate: with a fake kenlm installed, the folded model must still
+        # use the pure-Python scorer; the unfolded model takes kenlm
+        import sys
+
+        import pandas as pd
+
+        class _FakeModel:
+            def __init__(self, path):
+                pass
+
+            def score(self, s, bos=False, eos=False):
+                return -42.0  # sentinel log10 total
+
+        fake = type(sys)("kenlm")
+        fake.Model = _FakeModel
+        sys.modules["kenlm"] = fake
+        try:
+            arpa._KENLM_CACHE.clear()
+            p = tmp_path / "m.arpa"
+            p.write_text(cased)
+            m_folded = arpa.parse_arpa_file(str(p))
+            got = arpa._score_texts(m_folded, pd.Series(["the cat"]), True)
+            assert got[0] == m_folded.avg_logprob("the cat")  # pure Python
+            p2 = tmp_path / "m2.arpa"
+            p2.write_text(TINY_ARPA)
+            m_plain = arpa.parse_arpa_file(str(p2))
+            got2 = arpa._score_texts(m_plain, pd.Series(["the cat"]), True)
+            # fake kenlm sentinel: -42 * ln10 / events (tokens + 1 iff
+            # the model carries sentence markers)
+            import math
+
+            events = 2 + (1 if m_plain.has_sentence_markers else 0)
+            assert got2[0] == -42.0 * math.log(10.0) / events
+        finally:
+            del sys.modules["kenlm"]
+            arpa._KENLM_CACHE.clear()
+
+    def test_kenlm_load_failure_falls_back(self, tmp_path):
+        """r5 review: bindings importable but the model file unloadable
+        on this process (driver-local path never shipped) must fall back
+        to the pure-Python scorer, once, with the failure cached."""
+        import sys
+
+        import pandas as pd
+
+        calls = []
+
+        class _Boom:
+            def __init__(self, path):
+                calls.append(path)
+                raise OSError("no such model file")
+
+        fake = type(sys)("kenlm")
+        fake.Model = _Boom
+        sys.modules["kenlm"] = fake
+        try:
+            arpa._KENLM_CACHE.clear()
+            p = tmp_path / "m.arpa"
+            p.write_text(TINY_ARPA)
+            m = arpa.parse_arpa_file(str(p))
+            for _ in range(3):
+                got = arpa._score_texts(m, pd.Series(["the cat"]), True)
+                assert got[0] == m.avg_logprob("the cat")
+            assert len(calls) == 1  # load failure cached, not retried
+        finally:
+            del sys.modules["kenlm"]
+            arpa._KENLM_CACHE.clear()

@@ -990,6 +990,56 @@ class TestHistoryDedup:
         # compaction folds legacy+run dirs into one
         assert dedup.compact_history(spark, str(hist)) == 3
 
+    def test_crashed_fold_resumes_never_deletes(self, spark, tmp_path):
+        """r5 review: a fold staging dir holds COMMITTED flat-layout
+        hashes — a crash between staging and rename must be RESUMED by
+        the next probe/compaction, never swept with the `_tmp-*` commit
+        staging (which would silently erase pre-upgrade history)."""
+        import pathlib
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        hist = tmp_path / "hist"
+        # simulate a mid-fold crash: committed hashes sit in a hidden
+        # fold staging dir, nothing else in the history
+        tmp_write = tmp_path / "src"
+        spark.createDataFrame([("alpha",), ("beta",)], "text: string") \
+            .select(
+                F.md5(dedup.normalized_text_col(F.col("text"))).alias(
+                    "text_md5"
+                )
+            ).coalesce(1).write.parquet(str(tmp_write))
+        stage = hist / "_tmp-legacy-deadbeef01"
+        stage.mkdir(parents=True)
+        for f in pathlib.Path(tmp_write).glob("*.parquet"):
+            shutil.move(str(f), str(stage / f.name))
+
+        # (a) compaction on the crashed state resumes the fold and keeps
+        # both hashes (the old behavior deleted the staging dir -> 0)
+        assert dedup.compact_history(spark, str(hist)) == 2
+        assert not list(pathlib.Path(hist).glob("_tmp-*"))
+
+        # (b) same crash state, probe path: seen docs must still drop
+        hist2 = tmp_path / "hist2"
+        stage2 = hist2 / "_tmp-legacy-deadbeef02"
+        stage2.mkdir(parents=True)
+        spark.createDataFrame([("gamma",)], "text: string").select(
+            F.md5(dedup.normalized_text_col(F.col("text"))).alias("text_md5")
+        ).coalesce(1).write.parquet(str(tmp_path / "src2"))
+        for f in pathlib.Path(tmp_path / "src2").glob("*.parquet"):
+            shutil.move(str(f), str(stage2 / f.name))
+        df = spark.createDataFrame(
+            [(1, "gamma"), (2, "fresh")], "doc_id: bigint, text: string"
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_against_history(
+                df, "doc_id", "text", str(hist2)
+            ).collect()
+        )
+        assert got == [2]  # gamma recovered from the crashed fold
+
     def test_corrupted_history_propagates(self, spark, tmp_path):
         """A history dir that exists but cannot be read must RAISE, not
         silently bootstrap (which would re-emit the whole batch as
