@@ -368,6 +368,33 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
 
     clock("decontaminate", _decon)
 
+    # paragraph-level dedup over the raw documents with realistic
+    # boilerplate: 30% of docs get one of 5 rotating banner paragraphs
+    # prepended (the replica-expanded corpus would make EVERY paragraph a
+    # 120-way dup — pathological, measuring drop-list size not the
+    # operator).  Forces the full rebuilt text.
+    from mysql_data_quality_spark.operators.pardedup import (
+        paragraph_dedup_corpus,
+    )
+
+    def _pardedup():
+        docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        banner = F.concat(
+            F.lit("This site uses cookies variant "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(". Accept our policy to continue reading."),
+        )
+        inj = docs0.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 < 3,
+                F.concat(banner, F.lit("\n\n"), F.coalesce("text", F.lit(""))),
+            ).otherwise(F.col("text")),
+        )
+        _force(paragraph_dedup_corpus(inj, "doc_id", "text"))
+
+    clock("paragraph_dedup", _pardedup)
+
     # near-dup benches run on the raw documents table: the replica-expanded
     # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
     # near-copies), which measures pair-list size, not the operator.

@@ -260,6 +260,21 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
+        if getattr(args, "dedup_paragraph", False):
+            # CCNet-style paragraph-level dedup: boilerplate paragraphs
+            # (nav chrome, cookie banners) that repeat across otherwise
+            # distinct pages survive exactly once corpus-wide; documents
+            # are rebuilt from their kept paragraphs.  Runs after the
+            # document-level exact stages (fewer docs to explode) and
+            # BEFORE decontamination and the fuzzy stage, so both judge
+            # the text that actually ships.
+            from mysql_data_quality_spark.operators.pardedup import (
+                paragraph_dedup_corpus,
+            )
+
+            pages = paragraph_dedup_corpus(
+                pages, "url", "text", drop_empty=True
+            )
         decon = getattr(args, "decontaminate", None)
         if decon:
             # benchmark decontamination: drop documents sharing any
@@ -565,6 +580,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=3,
         help="minimum shared winnowing fingerprints (with --dedup-near "
         "fingerprint)",
+    )
+    f.add_argument(
+        "--dedup-paragraph",
+        action="store_true",
+        help="CCNet-style paragraph-level dedup before the filter: each "
+        "distinct (trimmed) paragraph survives once corpus-wide, "
+        "documents are rebuilt from their kept paragraphs, documents "
+        "losing every paragraph are dropped",
     )
     f.add_argument(
         "--extract-html",

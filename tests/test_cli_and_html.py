@@ -73,6 +73,10 @@ class TestCli:
         assert a.profile == "full" and a.dedup_near == "minhash"
         assert a.near_threshold == 0.4 and a.near_min_shared == 3
         assert a.extract_html is True
+        assert a.dedup_paragraph is False
+        a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--dedup-paragraph"])
+        assert a.dedup_paragraph is True
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--decontaminate", "/eval.parquet",
                           "--decontaminate-ngram", "8"])

@@ -146,6 +146,28 @@ class TestPlanQuality:
                     f"corpus text rides a shuffle ({keep}):\n{b}"
                 )
 
+    def test_paragraph_dedup_text_never_shuffles(self, spark):
+        """paragraph_dedup_corpus: winner election and drop lists run on
+        (id, pos, hash) projections and the rebuild join broadcasts the
+        drop lists — document text must not appear in any shuffle
+        Exchange of the plan."""
+        import re
+
+        from mysql_data_quality_spark.operators import pardedup
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        plan = _plan(pardedup.paragraph_dedup_corpus(docs))
+        assert "BroadcastHashJoin" in plan  # the rebuild join
+        blocks = re.split(r"\n\n", plan)
+        shuffles = [
+            b for b in blocks if re.match(r"\(\d+\) Exchange", b.strip())
+        ]
+        assert shuffles, "expected shuffle Exchanges (winner election)"
+        for b in shuffles:
+            assert not re.search(r"\btext#", b), (
+                f"document text rides a shuffle:\n{b}"
+            )
+
     def test_near_dedup_corpus_keep_one_is_broadcast_anti(self, spark):
         """deduplicated_corpus (the --dedup-near keep-one step): the
         cluster losers broadcast and the corpus is anti-joined in place —
