@@ -232,6 +232,16 @@ def cmd_filter(args) -> int:
             # WARC-payload ingest: fill missing text from the raw html
             # (pure-Column extraction; rows with text keep it byte-identical)
             pages = P.pages_with_extracted_text(pages)
+        norm = getattr(args, "normalize_text", None)
+        if norm:
+            # Unicode cleanup BEFORE any dedup/decontamination stage, so
+            # visually identical text (NFC vs NFD accents, zero-width
+            # chars) shares one hash key everywhere downstream
+            from mysql_data_quality_spark.functions.normalize import (
+                normalize_corpus,
+            )
+
+            pages = normalize_corpus(pages, "text", form=norm.upper())
         hist_dir = getattr(args, "dedup_history", None)
         near = getattr(args, "dedup_near", None)
         if getattr(args, "dedup", False) and not hist_dir:
@@ -580,6 +590,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=3,
         help="minimum shared winnowing fingerprints (with --dedup-near "
         "fingerprint)",
+    )
+    f.add_argument(
+        "--normalize-text",
+        choices=["nfc", "nfkc"],
+        default=None,
+        help="Unicode-normalize text (+ strip control/zero-width chars) "
+        "before any dedup stage: nfc = canonical (cross-engine oracle), "
+        "nfkc = compatibility fold (ligatures/fullwidth -> ASCII)",
     )
     f.add_argument(
         "--dedup-paragraph",

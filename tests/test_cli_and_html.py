@@ -74,9 +74,13 @@ class TestCli:
         assert a.near_threshold == 0.4 and a.near_min_shared == 3
         assert a.extract_html is True
         assert a.dedup_paragraph is False
+        assert a.normalize_text is None
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
-                          "--dedup-paragraph"])
-        assert a.dedup_paragraph is True
+                          "--dedup-paragraph", "--normalize-text", "nfkc"])
+        assert a.dedup_paragraph is True and a.normalize_text == "nfkc"
+        with pytest.raises(SystemExit):
+            p.parse_args(["filter", "--documents", "/d", "--output", "/o",
+                          "--normalize-text", "nfd"])  # not a choice
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--decontaminate", "/eval.parquet",
                           "--decontaminate-ngram", "8"])
