@@ -228,6 +228,20 @@ def cmd_filter(args) -> int:
             if args.input
             else P.read_pages(spark, args.documents)
         )
+        blfile = getattr(args, "blocklist", None)
+        if blfile:
+            # URL-keyed admission control FIRST: it needs no document
+            # text, so blocked pages never pay extraction, normalization,
+            # dedup hashing, or rules.  The blocklist broadcasts; the
+            # corpus never shuffles (suffix match -> broadcast anti join).
+            from mysql_data_quality_spark.operators.blocklist import (
+                blocklist_filtered_corpus,
+                read_blocklist,
+            )
+
+            pages = blocklist_filtered_corpus(
+                pages, read_blocklist(spark, blfile), "url"
+            )
         if getattr(args, "extract_html", False):
             # WARC-payload ingest: fill missing text from the raw html
             # (pure-Column extraction; rows with text keep it byte-identical)
@@ -590,6 +604,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=3,
         help="minimum shared winnowing fingerprints (with --dedup-near "
         "fingerprint)",
+    )
+    f.add_argument(
+        "--blocklist",
+        default=None,
+        metavar="FILE",
+        help="drop pages whose host is (or is under) a blocked domain "
+        "before any other stage: UT1-style text file (one domain per "
+        "line, # comments) or parquet with a 'domain' column",
     )
     f.add_argument(
         "--normalize-text",

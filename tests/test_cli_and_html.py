@@ -75,9 +75,12 @@ class TestCli:
         assert a.extract_html is True
         assert a.dedup_paragraph is False
         assert a.normalize_text is None
+        assert a.blocklist is None
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
-                          "--dedup-paragraph", "--normalize-text", "nfkc"])
+                          "--dedup-paragraph", "--normalize-text", "nfkc",
+                          "--blocklist", "/ut1/domains"])
         assert a.dedup_paragraph is True and a.normalize_text == "nfkc"
+        assert a.blocklist == "/ut1/domains"
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--normalize-text", "nfd"])  # not a choice
