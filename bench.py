@@ -395,6 +395,23 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
 
     clock("paragraph_dedup", _pardedup)
 
+    # CCNet perplexity bucketing, scale path: per-language sketch
+    # thresholds (map-side-combining percentile_approx — no sort, no
+    # window) + broadcast join + pure-map bucket over the full expanded
+    # corpus.
+    from mysql_data_quality_spark.operators.ppxbuckets import (
+        perplexity_buckets_approx,
+    )
+
+    clock(
+        "ppx_buckets_approx",
+        lambda: _force(
+            perplexity_buckets_approx(
+                pages, id_col="url", threshold_fraction=0.1
+            ).select("url", "ppx_bucket")
+        ),
+    )
+
     # near-dup benches run on the raw documents table: the replica-expanded
     # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
     # near-copies), which measures pair-list size, not the operator.
