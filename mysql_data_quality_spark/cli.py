@@ -284,6 +284,21 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
+        if getattr(args, "dedup_lines", False):
+            # within-DOCUMENT repeated-line removal (RefinedWeb line-wise
+            # correction): nav/menu lines repeated inside one page
+            # collapse to their first occurrence.  Pure per-doc Column
+            # fold — runs before paragraph/corpus dedup so those hash
+            # the cleaned text.
+            from pyspark.sql import functions as _F
+
+            from mysql_data_quality_spark.functions.text import (
+                dedup_lines_col,
+            )
+
+            pages = pages.withColumn(
+                "text", dedup_lines_col(_F.col("text"))
+            )
         if getattr(args, "dedup_paragraph", False):
             # CCNet-style paragraph-level dedup: boilerplate paragraphs
             # (nav chrome, cookie banners) that repeat across otherwise
@@ -620,6 +635,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Unicode-normalize text (+ strip control/zero-width chars) "
         "before any dedup stage: nfc = canonical (cross-engine oracle), "
         "nfkc = compatibility fold (ligatures/fullwidth -> ASCII)",
+    )
+    f.add_argument(
+        "--dedup-lines",
+        action="store_true",
+        help="within-document repeated-line removal (RefinedWeb "
+        "line-wise correction): repeated non-blank lines collapse to "
+        "their first occurrence; blank lines and paragraph structure "
+        "survive",
     )
     f.add_argument(
         "--dedup-paragraph",

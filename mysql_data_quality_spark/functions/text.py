@@ -350,3 +350,65 @@ def dup_ngram_fraction_sql(toks: str, n: int) -> str:
         f"cast(len(list_distinct({grams})) as double) / "
         f"cast(len({grams}) as double) else 0.0 end"
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repeated-line removal (RefinedWeb line-wise cleanup)
+# ---------------------------------------------------------------------------
+def dedup_lines_col(text: Column) -> Column:
+    """The document with every repeated line removed (RefinedWeb's
+    line-wise correction): a line is dropped iff its TRIMMED form is
+    non-empty and equals the trimmed form of an earlier line; blank /
+    whitespace-only lines always pass through, so paragraph structure
+    survives.  Kept lines keep their original bytes.  Null in, null out.
+
+    Shape: one ``aggregate`` fold over the split — the lambda touches
+    only its accumulator and element variables, so nothing outer is
+    re-evaluated per element (the HOF re-inlining trap, BENCH.md r4).
+    Per-doc cost is O(lines²) accumulator compares/copies — fine for
+    crawl pages (10²-10³ lines), and per-document, so never a shuffle
+    or skew concern at any corpus size."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\r?\n")
+    empty = F.array().cast("array<string>")
+    folded = F.aggregate(
+        lines,
+        F.struct(empty.alias("seen"), empty.alias("out")),
+        lambda acc, x: F.when(
+            (F.length(F.trim(x)) > 0)
+            & F.array_contains(acc["seen"], F.trim(x)),
+            acc,
+        ).otherwise(
+            F.struct(
+                F.when(
+                    F.length(F.trim(x)) > 0,
+                    F.concat(acc["seen"], F.array(F.trim(x))),
+                )
+                .otherwise(acc["seen"])
+                .alias("seen"),
+                F.concat(acc["out"], F.array(x)).alias("out"),
+            )
+        ),
+        lambda acc: F.array_join(acc["out"], "\n"),
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        folded
+    )
+
+
+def dedup_lines_sql(text: str) -> str:
+    """DuckDB twin: keep line i iff blank, or its trim is absent from
+    the trims of the earlier lines (earlier-kept == earlier-any for this
+    predicate: a dropped line's trim was already present)."""
+    l = f"regexp_split_to_array(coalesce({text}, ''), '\\r?\\n')"
+    # coalesce(.., 0) = 0 — this DuckDB returns 0 for a miss (newer
+    # versions return NULL); the coalesce form is correct for both
+    keep = (
+        f"len(trim(({l})[i])) = 0 or coalesce(list_position("
+        f"[trim(x) for x in ({l})[1:i-1] if len(trim(x)) > 0], "
+        f"trim(({l})[i])), 0) = 0"
+    )
+    return (
+        f"case when {text} is null then null else array_to_string("
+        f"[({l})[i] for i in range(1, len({l}) + 1) if {keep}], chr(10)) "
+        f"end"
+    )

@@ -78,9 +78,9 @@ class TestCli:
         assert a.blocklist is None
         a = p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--dedup-paragraph", "--normalize-text", "nfkc",
-                          "--blocklist", "/ut1/domains"])
+                          "--blocklist", "/ut1/domains", "--dedup-lines"])
         assert a.dedup_paragraph is True and a.normalize_text == "nfkc"
-        assert a.blocklist == "/ut1/domains"
+        assert a.blocklist == "/ut1/domains" and a.dedup_lines is True
         with pytest.raises(SystemExit):
             p.parse_args(["filter", "--documents", "/d", "--output", "/o",
                           "--normalize-text", "nfd"])  # not a choice

@@ -195,3 +195,101 @@ class TestParagraphDedup:
         assert len(got) == len(oracle)
         for c in got.columns:
             assert (got[c].values == oracle[c].values).all(), c
+
+
+class TestDedupLines:
+    """Within-document repeated-line removal (RefinedWeb line-wise
+    correction) — functions/text.py::dedup_lines_col."""
+
+    ROWS = [
+        (1, "Home\nAbout\nHome\nContact\nhome"),   # case-sensitive keep
+        (2, "nav\n\nnav\n  nav  \nbody text"),     # ws-variants collapse
+        (3, None),
+        (4, ""),
+        (5, "only\n\n\nblank\n\nlines\n\nkept"),   # blanks all survive
+        (6, "a\r\nb\r\na\r\nc"),                   # CRLF split
+        (7, "x"),
+    ]
+
+    def test_semantics_and_duckdb_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.functions import text as T
+
+        df = spark.createDataFrame(self.ROWS, "id: bigint, text: string")
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", T.dedup_lines_col(F.col("text")).alias("t")
+            ).collect()
+        }
+        assert got[1] == "Home\nAbout\nContact\nhome"
+        assert got[2] == "nav\n\nbody text"
+        assert got[3] is None and got[4] == ""
+        assert got[5] == self.ROWS[4][1]  # nothing repeats -> unchanged
+        assert got[6] == "a\nb\nc"
+        duck = duckdb.connect()
+        duck.register("t", pd.DataFrame(self.ROWS, columns=["id", "text"]))
+        want = {
+            r[0]: r[1]
+            for r in duck.sql(
+                f"select id, {T.dedup_lines_sql('text')} from t"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_cli_filter_dedup_lines(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.functions import text as T
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        nav = "home about contact login"
+        rows = [
+            ("u1", f"{nav}\nthe quick brown fox jumps over the lazy "
+                   f"dog near the river bank at dawn.\n{nav}"),
+            ("u2", "a standalone page about parquet row groups today."),
+        ]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+        monkeypatch.chdir(tmp_path)
+        src = str(tmp_path / "pages_in")
+        pages.write.parquet(src)
+        out_dir = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--input", src, "--output", out_dir,
+             "--buckets", "2", "--dedup-lines"]
+        )
+        assert rc == 0
+        got = (
+            spark.read.parquet(f"{out_dir}/data")
+            .drop("bucket")
+            .orderBy("url")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(f"create view pages as select * from '{src}/*.parquet'")
+        oracle = con.sql(
+            "with corpus as (select * replace ("
+            + T.dedup_lines_sql("text")
+            + " as text) from pages) "
+            + QF.decisions_sql("corpus")
+            + " order by url"
+        ).df()
+        assert list(got.columns) == list(oracle.columns)
+        assert len(got) == len(oracle) == 2
+        for c in got.columns:
+            assert (got[c].values == oracle[c].values).all(), c
+        # the second nav line is gone from the shipped text
+        texts = dict(zip(got.url, got.scrubbed_text))
+        assert texts["u1"].count(nav) == 1
