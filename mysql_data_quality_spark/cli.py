@@ -499,6 +499,48 @@ def cmd_compact_history(args) -> int:
         return 0
 
 
+def cmd_distill(args) -> int:
+    """Distill the rule registry into a logistic-regression quality
+    classifier: train on the engine's own keep/drop verdicts over the
+    given corpus and write the weights as JSON.  Scoring then needs only
+    ``operators.classifier.score_col(weights)`` — pure Column math, no
+    MLlib at inference."""
+    from mysql_data_quality_spark.core.config import (
+        load_dotenv,
+        rules_from_env,
+    )
+    from mysql_data_quality_spark.operators.classifier import (
+        distill_quality_classifier,
+    )
+    from mysql_data_quality_spark.pipeline import pages as P
+    from mysql_data_quality_spark.rules.heuristics import profile_rules
+
+    load_dotenv()
+    rules = rules_from_env(
+        base=profile_rules(getattr(args, "profile", "default") or "default")
+    )
+    with _Session(args.cores) as spark:
+        pages = (
+            spark.read.parquet(args.input)
+            if args.input
+            else P.read_pages(spark, args.documents)
+        )
+        weights = distill_quality_classifier(pages, rules=rules)
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(weights, indent=2, sort_keys=True))
+        print(
+            json.dumps(
+                {
+                    "weights_file": str(out),
+                    "n_features": len(weights["weights"]),
+                    "intercept": weights["intercept"],
+                }
+            )
+        )
+        return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mysql_data_quality_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -710,6 +752,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ch.add_argument("history_dir")
     ch.set_defaults(fn=cmd_compact_history)
+
+    di = sub.add_parser(
+        "distill",
+        help="train a quality classifier on the rule verdicts and write "
+        "its weights JSON (inference is pure Column math)",
+    )
+    dsrc = di.add_mutually_exclusive_group(required=True)
+    dsrc.add_argument("--input")
+    dsrc.add_argument("--documents")
+    di.add_argument("--output", required=True,
+                    help="weights JSON path")
+    di.add_argument(
+        "--profile", choices=["default", "full"], default="default",
+        help="rule profile supplying the training labels",
+    )
+    di.set_defaults(fn=cmd_distill)
     return ap
 
 

@@ -1,0 +1,178 @@
+"""Distilled quality classifier — the fastText-classifier stage of the
+published pipelines (GPT-3's LR-against-WebText, LLaMA/CCNet's quality
+classifiers), Spark-native: train a logistic regression over the
+engine's own document features, then EXPORT the weights into a pure
+Column expression so corpus-scale scoring is JVM codegen math with no
+MLlib (and no Python) anywhere near the hot path.
+
+Why distillation is the shipped shape: hard rule thresholds make binary
+cliff decisions; the distilled model turns the same signal into a
+smooth [0,1] score usable for mixture weighting, curriculum ordering,
+or a tunable single threshold.  Training labels default to the
+engine's own rule verdicts (``distill``); any other label column works
+(e.g. "is this page from a trusted reference corpus" — the GPT-3
+recipe).
+
+Scale shape:
+
+* TRAINING is MLlib's distributed L-BFGS — per-iteration treeAggregate
+  of gradient partials, no driver-side data collect; the only driver
+  state is the coefficient vector (|features| doubles).  Deterministic
+  for fixed input (no sampling, no randomized init).  At 100 TB you
+  train on a hash-sample (``operators.sampling``) — the optimum of a
+  10^8-doc sample is the optimum for this feature dim.
+* SCORING (:func:`score_col`) is ``sigmoid(intercept + Σ wᵢ·xᵢ)`` as a
+  Column tree — whole-stage codegen, broadcastable weights constant-
+  folded into the plan, zero shuffles, zero Python, no MLlib import at
+  inference.  The DuckDB twin replays the same arithmetic; parity is
+  float-tolerance (libm ``exp`` may differ in the last ulp — the
+  documented float-determinism adjudication), so this ships as a
+  pytest-pinned operator, not a driver-hash row.
+
+Reference analogue: the reference's quality *score* aggregation
+(``/root/reference/src/data_quality/reports/``) weights rule outcomes
+into one number with fixed weights; this learns the weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# numeric feature subset of rules/heuristics.FEATURES (the categorical
+# det_lang and boolean has_* columns enter via indicator terms below)
+NUMERIC_FEATURES: tuple[str, ...] = (
+    "n_words",
+    "mean_word_len",
+    "stop_fraction",
+    "distinct_fraction",
+    "symbol_ratio",
+    "digit_fraction",
+    "dup_line_fraction",
+    "dup_paragraph_fraction",
+    "dup_2gram_fraction",
+    "c4_kept_line_fraction",
+    "avg_logp",
+)
+INDICATOR_FEATURES: tuple[str, ...] = (
+    "has_lorem_ipsum",
+    "has_curly_brace",
+)
+
+
+def _feature_frame(df: DataFrame, text_col: str) -> DataFrame:
+    from mysql_data_quality_spark.rules import heuristics
+
+    need = set(NUMERIC_FEATURES) | set(INDICATOR_FEATURES)
+    if not need.issubset(set(df.columns)):
+        df = heuristics.with_features(df, text_col)
+    return df
+
+
+def feature_cols() -> tuple[str, ...]:
+    return NUMERIC_FEATURES + INDICATOR_FEATURES
+
+
+def _assembled(df: DataFrame, label_col: str):
+    from pyspark.ml.feature import VectorAssembler
+
+    casted = df.select(
+        *[
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            for c in feature_cols()
+        ],
+        F.col(label_col).cast("double").alias("_qc_label"),
+    )
+    asm = VectorAssembler(
+        inputCols=list(feature_cols()), outputCol="_qc_vec"
+    )
+    return asm.transform(casted)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    reg_param: float = 1e-3,
+    max_iter: int = 100,
+) -> dict:
+    """Fit LR(features → label) and return the weights as a plain dict:
+    ``{"intercept": b, "weights": {feature: w, ...}}`` — small, JSON-
+    serializable, and everything :func:`score_col` needs (inference has
+    NO MLlib dependency).  Missing feature columns are derived from
+    ``text_col`` first."""
+    from pyspark.ml.classification import LogisticRegression
+
+    data = _assembled(_feature_frame(df, text_col), label_col)
+    lr = LogisticRegression(
+        featuresCol="_qc_vec",
+        labelCol="_qc_label",
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    model = lr.fit(data)
+    weights = dict(
+        zip(feature_cols(), (float(w) for w in model.coefficients))
+    )
+    return {"intercept": float(model.intercept), "weights": weights}
+
+
+def distill_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    rules=None,
+    reg_param: float = 1e-3,
+) -> dict:
+    """Train against the engine's OWN rule verdict (keep=1/drop=0): the
+    hard registry distilled into one smooth score."""
+    from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+    feats = _feature_frame(df, text_col)
+    dec = QF.decisions(df, rules=rules).select(
+        "url", F.col("keep").cast("double").alias("_qc_keep")
+    )
+    labeled = feats.join(dec, on="url")
+    return train_quality_classifier(
+        labeled, "_qc_keep", text_col, reg_param=reg_param
+    )
+
+
+def score_col(weights: dict) -> Column:
+    """``P(keep)`` as pure Column math: sigmoid(b + Σ wᵢ·coalesce(xᵢ,0)).
+    Constant weights fold into codegen — zero shuffles, zero Python."""
+    z = F.lit(float(weights["intercept"]))
+    for name, w in weights["weights"].items():
+        if w == 0.0:
+            continue
+        z = z + F.lit(float(w)) * F.coalesce(
+            F.col(name).cast("double"), F.lit(0.0)
+        )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_sql(weights: dict) -> str:
+    """DuckDB twin of :func:`score_col` (same term order; float-
+    tolerance parity — libm exp ulps)."""
+    terms = [repr(float(weights["intercept"]))]
+    for name, w in weights["weights"].items():
+        if w == 0.0:
+            continue
+        terms.append(
+            f"({float(w)!r} * coalesce(cast({name} as double), 0.0))"
+        )
+    z = " + ".join(terms)
+    return f"(1.0 / (1.0 + exp(-({z}))))"
+
+
+def scored_corpus(
+    df: DataFrame,
+    weights: dict,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """The corpus with a ``quality_prob`` column — one projection over
+    the scan (features + dot product fused by codegen)."""
+    return _feature_frame(df, text_col).withColumn(
+        out_col, score_col(weights)
+    )
