@@ -256,6 +256,21 @@ def cmd_filter(args) -> int:
             )
 
             pages = normalize_corpus(pages, "text", form=norm.upper())
+        if getattr(args, "dedup_lines", False):
+            # within-DOCUMENT repeated-line removal (RefinedWeb line-wise
+            # correction): nav/menu lines repeated inside one page
+            # collapse to their first occurrence.  Pure per-doc Column
+            # fold — runs before EVERY dedup stage (exact, history,
+            # paragraph, fuzzy) so they all hash the cleaned text.
+            from pyspark.sql import functions as _F
+
+            from mysql_data_quality_spark.functions.text import (
+                dedup_lines_col,
+            )
+
+            pages = pages.withColumn(
+                "text", dedup_lines_col(_F.col("text"))
+            )
         hist_dir = getattr(args, "dedup_history", None)
         near = getattr(args, "dedup_near", None)
         if getattr(args, "dedup", False) and not hist_dir:
@@ -283,21 +298,6 @@ def cmd_filter(args) -> int:
             pages = dedup_against_history(
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
-            )
-        if getattr(args, "dedup_lines", False):
-            # within-DOCUMENT repeated-line removal (RefinedWeb line-wise
-            # correction): nav/menu lines repeated inside one page
-            # collapse to their first occurrence.  Pure per-doc Column
-            # fold — runs before paragraph/corpus dedup so those hash
-            # the cleaned text.
-            from pyspark.sql import functions as _F
-
-            from mysql_data_quality_spark.functions.text import (
-                dedup_lines_col,
-            )
-
-            pages = pages.withColumn(
-                "text", dedup_lines_col(_F.col("text"))
             )
         if getattr(args, "dedup_paragraph", False):
             # CCNet-style paragraph-level dedup: boilerplate paragraphs
