@@ -363,6 +363,23 @@ def cmd_filter(args) -> int:
                     min_shared=args.near_min_shared,
                 )
             pages = deduplicated_corpus(pages, pairs, "url")
+        dom_thr = getattr(args, "domain_threshold", None)
+        if dom_thr is not None:
+            # whole-SITE admission (RefinedWeb "bad neighborhood" stage):
+            # drop every document of a domain whose pages mostly fail the
+            # registry — including its individually-passing pages.  Runs
+            # LAST among the corpus stages so the keep-rate judges the
+            # text that actually ships; costs one extra aggregate pass
+            # over the (domain, keep) projection, drop list broadcasts.
+            from mysql_data_quality_spark.operators.domains import (
+                domain_quality_filtered,
+            )
+
+            pages = domain_quality_filtered(
+                pages, dom_thr,
+                min_docs=getattr(args, "domain_min_docs", 5),
+                rules=rules,
+            )
         lm = None
         if getattr(args, "arpa_model", None):
             from mysql_data_quality_spark.rules.arpa import parse_arpa_file
@@ -713,6 +730,22 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=13,
         help="n-gram size for --decontaminate (13 = the GPT-3 recipe)",
+    )
+    f.add_argument(
+        "--domain-threshold",
+        type=float,
+        default=None,
+        metavar="RATE",
+        help="drop WHOLE domains whose page keep-rate under the rule "
+        "registry is below RATE (RefinedWeb-style site-level admission; "
+        "includes the domain's individually-passing pages)",
+    )
+    f.add_argument(
+        "--domain-min-docs",
+        type=int,
+        default=5,
+        help="evidence floor for --domain-threshold: domains with fewer "
+        "documents are never dropped",
     )
     f.set_defaults(fn=cmd_filter)
 
