@@ -273,6 +273,7 @@ def cmd_filter(args) -> int:
             )
         hist_dir = getattr(args, "dedup_history", None)
         near = getattr(args, "dedup_near", None)
+        near_hist = getattr(args, "near_history", None)
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -352,17 +353,41 @@ def cmd_filter(args) -> int:
             )
 
             if near == "minhash":
-                pairs = minhash_lsh_pairs(
-                    pages, "url", "text",
-                    k=3, num_hashes=32, bands=8,
-                    threshold=args.near_threshold,
-                )
+                if not near_hist:
+                    pairs = minhash_lsh_pairs(
+                        pages, "url", "text",
+                        k=3, num_hashes=32, bands=8,
+                        threshold=args.near_threshold,
+                    )
+                    pages = deduplicated_corpus(pages, pairs, "url")
+                # else: near_dedup_against_history below runs the
+                # identical within-batch minhash pass internally —
+                # running it here too would hash every shingle twice
+                # for the same rows (the --dedup/--dedup-history
+                # subsumption pattern)
             else:  # fingerprint
                 pairs = fingerprint_duplicate_pairs(
                     pages, "url", "text", k=8, w=8,
                     min_shared=args.near_min_shared,
                 )
-            pages = deduplicated_corpus(pages, pairs, "url")
+                pages = deduplicated_corpus(pages, pairs, "url")
+        if near_hist:
+            # cross-RUN fuzzy dedup (CCNet/RefinedWeb across crawl
+            # dumps): within-batch minhash near-dedup, then drop batch
+            # survivors whose LSH band hashes collide with any
+            # previously-kept document; band rows commit only AFTER the
+            # checkpointed write finishes (same crash contract as
+            # --dedup-history)
+            from mysql_data_quality_spark.operators.dedup import (
+                near_dedup_against_history,
+            )
+
+            pages = near_dedup_against_history(
+                pages, "url", "text", near_hist,
+                k=3, num_hashes=32, bands=8,
+                threshold=args.near_threshold,
+                update_history=False,
+            )
         dom_thr = getattr(args, "domain_threshold", None)
         if dom_thr is not None:
             # whole-SITE admission (RefinedWeb "bad neighborhood" stage):
@@ -411,6 +436,18 @@ def cmd_filter(args) -> int:
 
             commit_history(pages, hist_dir)
             stats["history_dir"] = hist_dir
+        if near_hist:
+            # write committed: record this run's band hashes (recomputed
+            # from the pinned survivor frame with the pinned geometry)
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_near_history,
+            )
+
+            commit_near_history(
+                pages, "url", "text", near_hist,
+                k=3, num_hashes=32, bands=8,
+            )
+            stats["near_history_dir"] = near_hist
         print(json.dumps(stats))
         return 0
 
@@ -509,8 +546,11 @@ def cmd_compact_history(args) -> int:
     ingest batches, not concurrently with an appending job."""
     from mysql_data_quality_spark.operators.dedup import compact_history
 
+    cols = (
+        ("band", "bh") if getattr(args, "near", False) else ("text_md5",)
+    )
     with _Session(args.cores) as spark:
-        n = compact_history(spark, args.history_dir)
+        n = compact_history(spark, args.history_dir, cols=cols)
         print(json.dumps({"history_dir": args.history_dir,
                           "distinct_hashes": n}))
         return 0
@@ -732,6 +772,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="n-gram size for --decontaminate (13 = the GPT-3 recipe)",
     )
     f.add_argument(
+        "--near-history",
+        default=None,
+        metavar="DIR",
+        help="cross-run NEAR-dup dedup: drop documents whose minhash LSH "
+        "band hashes collide with any previously-kept document; band "
+        "rows append to DIR after the write commits (fuzzy analogue of "
+        "--dedup-history; geometry pinned per dir). Subsumes "
+        "--dedup-near minhash for the within-batch pass",
+    )
+    f.add_argument(
         "--domain-threshold",
         type=float,
         default=None,
@@ -784,6 +834,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="fold a dedup hash history's run dirs into one distinct run",
     )
     ch.add_argument("history_dir")
+    ch.add_argument(
+        "--near",
+        action="store_true",
+        help="the dir is a --near-history band-hash history "
+        "(distinct over (band, bh) instead of text_md5)",
+    )
     ch.set_defaults(fn=cmd_compact_history)
 
     di = sub.add_parser(

@@ -333,38 +333,13 @@ def minhash_signatures(
     return sh.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
-    persist_sigs: bool = True,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH, scored by signature
-    agreement (estimate of Jaccard).
-
-    rows_per_band = num_hashes / bands; two docs collide if any band of
-    their signatures is identical.  The band join shuffles ONLY (band_id,
-    band_hash, doc_id) — the full ``sig`` array (num_hashes × 8 B) is
-    projected out before the explode+join and joined back per doc id for
-    scoring, so signature bytes move O(docs), not O(docs × bands).
-
-    The signature frame feeds THREE plan arms (banding + both scoring
-    sides); ``persist_sigs`` (default on) caches it at
-    MEMORY_AND_DISK so the shingle+hash pipeline runs once, not thrice —
-    measured 1.8x at sf0.1.  At 10^12 docs, write signatures to a table
-    instead and pass ``persist_sigs=False``.
-    """
+def band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) — one row per LSH band of each signature;
+    bh = xxhash64 of the band's comma-joined signature rows.  The
+    exchange unit for every banded-LSH consumer (pair join, history
+    probe): 12 B of key + the id, never the signature array."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    if persist_sigs:
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_arr = F.array(
         *[
             F.struct(
@@ -382,9 +357,52 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.explode(band_arr).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    return sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    persist_sigs: bool = True,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature
+    agreement (estimate of Jaccard).
+
+    ``sigs`` injects a precomputed :func:`minhash_signatures` frame (must
+    match ``num_hashes``; ``k``/``text_col`` are then unused) so callers
+    that need the signatures for other arms too — e.g.
+    :func:`near_dedup_against_history`'s band probe — hash each shingle
+    once, not twice.  The caller owns its persistence
+    (``persist_sigs`` is ignored).
+
+    rows_per_band = num_hashes / bands; two docs collide if any band of
+    their signatures is identical.  The band join shuffles ONLY (band_id,
+    band_hash, doc_id) — the full ``sig`` array (num_hashes × 8 B) is
+    projected out before the explode+join and joined back per doc id for
+    scoring, so signature bytes move O(docs), not O(docs × bands).
+
+    The signature frame feeds THREE plan arms (banding + both scoring
+    sides); ``persist_sigs`` (default on) caches it at
+    MEMORY_AND_DISK so the shingle+hash pipeline runs once, not thrice —
+    measured 1.8x at sf0.1.  At 10^12 docs, write signatures to a table
+    instead and pass ``persist_sigs=False``.
+    """
+    assert num_hashes % bands == 0
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+        if persist_sigs:
+            from pyspark import StorageLevel
+
+            sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = band_rows(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1104,7 +1122,10 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
 
 
 def _commit_history_run(
-    fresh: DataFrame, history_dir: str, run_id: str | None = None
+    fresh: DataFrame,
+    history_dir: str,
+    run_id: str | None = None,
+    cols: tuple[str, ...] = ("text_md5",),
 ) -> None:
     """Crash-atomic history append: write this run's hashes to a hidden
     ``_tmp-<id>`` staging dir (underscore-prefixed paths are invisible to
@@ -1122,7 +1143,7 @@ def _commit_history_run(
     spark = fresh.sparkSession
     staging = f"{history_dir}/_tmp-{run_id}"
     final = f"{history_dir}/run={run_id}"
-    fresh.select("text_md5").write.parquet(staging)
+    fresh.select(*cols).write.parquet(staging)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(history_dir).getFileSystem(
@@ -1243,10 +1264,206 @@ def commit_history(fresh_hashes: DataFrame, history_dir: str) -> None:
     _commit_history_run(fresh_hashes.select("text_md5"), history_dir)
 
 
-def compact_history(spark: SparkSession, history_dir: str) -> int:
+def _check_near_history_params(
+    spark: SparkSession,
+    history_dir: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> None:
+    """Band hashes from different (k, num_hashes, bands) geometries are
+    incomparable — a silent mismatch would make every probe miss and
+    re-emit the whole corpus as fresh (the silent-re-emit failure class
+    again).  The first commit records the geometry in
+    ``_near_params.json`` at the history root (underscore-prefixed:
+    invisible to parquet readers); every later probe/commit validates
+    against it and raises loudly on drift."""
+    import json as _json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    params = {"k": int(k), "num_hashes": int(num_hashes), "bands": int(bands)}
+    pfile = hpath(f"{history_dir}/_near_params.json")
+    if fs.exists(pfile):
+        stream = fs.open(pfile)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        stored = _json.loads(raw.decode("utf-8"))
+        if stored != params:
+            raise ValueError(
+                f"near-dup history {history_dir} was built with "
+                f"{stored}, probed with {params} — band hashes are "
+                "incomparable across geometries; use the original "
+                "parameters or start a new history dir"
+            )
+        return
+    if not fs.exists(hpath(history_dir)):
+        fs.mkdirs(hpath(history_dir))
+    # params file commit is itself crash-safe: write tmp, rename
+    tmp = hpath(f"{history_dir}/_tmp-near-params.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps(params).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, pfile) and not fs.exists(pfile):
+        raise IOError(f"near-history params commit failed: {pfile}")
+
+
+def near_dedup_against_history(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    update_history: bool = True,
+    pin: str = "localCheckpoint",
+    broadcast_seen: bool = True,
+) -> DataFrame:
+    """Incremental cross-RUN **near**-dup dedup — the fuzzy complement of
+    :func:`dedup_against_history` for crawl-snapshot-at-a-time pipelines
+    (CCnet/RefinedWeb dedup across dumps): drop documents that are
+    near-duplicates of any document kept in a PREVIOUS run, after the
+    usual within-batch near-dedup.
+
+    Two stages, both sub-quadratic:
+
+      1. WITHIN-BATCH — :func:`minhash_lsh_pairs` candidates scored by
+         signature agreement (``threshold``), :func:`duplicate_clusters`
+         (O(log n) rounds), keep the smallest id per cluster
+         (:func:`deduplicated_corpus`).  Signatures are computed ONCE
+         and shared with stage 2 (``sigs=`` injection).
+      2. HISTORY PROBE — the history stores the LSH **band hashes**
+         ``(band, bh)`` of every previously-kept document (16 B × bands
+         per doc — hashes only, never text or signatures, so it stays
+         storage-lean at 10^12 docs).  A batch survivor is dropped when
+         ANY of its band hashes collides with history — pure LSH
+         semantics, the standard cross-dump recipe: precision/recall sit
+         on the LSH S-curve ``P(collide) = 1-(1-j^r)^b`` set by the
+         geometry (defaults: r=4 rows/band, b=8 → j=0.5 collides with
+         p≈0.41, j=0.8 with p≈0.98).  Unlike the within-batch stage
+         there is no signature re-check against history (that would
+         require storing full signatures); pick a geometry whose r is
+         large enough for the false-positive rate you can afford.
+         The probe is a shuffle join on (band, bh) carrying ids only.
+
+    Geometry is pinned per history dir (``_near_params.json``, validated
+    every call — a silent mismatch would miss every probe).  Commits
+    reuse the exact-history machinery: crash-atomic ``run=<id>``
+    staging+rename, at-least-once bookkeeping, duplicate band rows
+    harmless, ``compact_history(cols=("band", "bh"))`` maintenance.
+
+    Documents too short to shingle (fewer than ``k`` tokens) have no
+    signature: they always survive this stage and add nothing to the
+    history — chain :func:`dedup_against_history` first for exact-text
+    coverage of those (the CLI composes the stages in that order).
+
+    For the resumable-sink composition (commit bands only after your
+    write commits), call with ``update_history=False``, write the
+    returned (pinned) frame, then
+    ``commit_near_history(result, id_col, text_col, history_dir, ...)``.
+    """
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    if pin not in ("localCheckpoint", "disk"):
+        raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
+    spark = df.sparkSession
+    _check_near_history_params(spark, history_dir, k, num_hashes, bands)
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, sigs=sigs,
+    )
+    batch = deduplicated_corpus(df, pairs, id_col)
+    banded = band_rows(sigs, num_hashes, bands)
+    _fold_legacy_layout(spark, history_dir)
+    try:
+        hist = spark.read.parquet(history_dir).select("band", "bh")
+        have_history = True
+    except AnalysisException as e:
+        # same bootstrap-vs-transient split as dedup_against_history:
+        # only a missing/no-visible-data dir may bootstrap
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
+        have_history = False
+    if have_history:
+        seen = (
+            banded.join(hist, on=["band", "bh"])
+            .select("doc_id")
+            .distinct()
+            .withColumnRenamed("doc_id", id_col)
+        )
+        # broadcast the seen-id list so the corpus (text and all) never
+        # shuffles for the anti join — seen ids are the cross-run dup
+        # tail of ONE batch, small relative to the batch
+        # (plan-contract-tested).  broadcast_seen=False is the escape
+        # hatch for pathological cross-dump dup rates: plain shuffle
+        # anti join on the id, rows identical.
+        if broadcast_seen:
+            seen = F.broadcast(seen)
+        fresh = batch.join(seen, on=id_col, how="left_anti")
+    else:
+        fresh = batch
+    if pin == "disk":
+        fresh = fresh.persist(StorageLevel.DISK_ONLY)
+        fresh.count()
+    else:
+        fresh = fresh.localCheckpoint()
+    if update_history:
+        fresh_bands = banded.join(
+            fresh.select(F.col(id_col).alias("doc_id")), on="doc_id"
+        ).select("band", "bh")
+        _commit_history_run(fresh_bands, history_dir, cols=("band", "bh"))
+    sigs.unpersist()
+    return fresh
+
+
+def commit_near_history(
+    fresh: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Deferred commit for ``near_dedup_against_history(...,
+    update_history=False)``: recompute the band hashes of the (pinned)
+    surviving frame with the SAME geometry and append them as one
+    crash-atomic run.  One extra signature pass over survivors only —
+    the price of committing after your sink, and deterministic because
+    the input frame is pinned.  Call AFTER your sink's commit point."""
+    spark = fresh.sparkSession
+    _check_near_history_params(spark, history_dir, k, num_hashes, bands)
+    bands_df = band_rows(
+        minhash_signatures(fresh, id_col, text_col, k, num_hashes),
+        num_hashes, bands,
+    ).select("band", "bh")
+    _commit_history_run(bands_df, history_dir, cols=("band", "bh"))
+
+
+def compact_history(
+    spark: SparkSession,
+    history_dir: str,
+    cols: tuple[str, ...] = ("text_md5",),
+) -> int:
     """Compact a :func:`dedup_against_history` history: fold every
     committed ``run=<id>`` directory into ONE distinct-hash run, then
-    drop the old runs.  Returns the distinct hash count.
+    drop the old runs.  Returns the distinct hash count.  For a
+    :func:`near_dedup_against_history` dir pass ``cols=("band", "bh")``
+    (the CLI's ``compact-history --near`` does).
 
     Order of operations keeps every intermediate state safe: the
     compacted run commits atomically FIRST (staging + rename, like any
@@ -1270,7 +1487,7 @@ def compact_history(spark: SparkSession, history_dir: str) -> int:
     _fold_legacy_layout(spark, history_dir)  # flat pre-upgrade layout
     try:
         distinct = (
-            spark.read.parquet(history_dir).select("text_md5").distinct()
+            spark.read.parquet(history_dir).select(*cols).distinct()
         )
         distinct = distinct.localCheckpoint()  # pin before deleting sources
         n = distinct.count()
@@ -1289,7 +1506,7 @@ def compact_history(spark: SparkSession, history_dir: str) -> int:
                     fs0.delete(status.getPath(), True)
         return 0
     compact_id = f"compact-{uuid.uuid4().hex[:12]}"
-    _commit_history_run(distinct, history_dir, run_id=compact_id)
+    _commit_history_run(distinct, history_dir, run_id=compact_id, cols=cols)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())

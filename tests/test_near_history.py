@@ -1,0 +1,227 @@
+"""Cross-run NEAR-dup dedup against an LSH band-hash history: two-run
+semantics (near-copies of previously-kept docs drop, fresh docs
+survive, short docs pass through), geometry pinning, the deferred
+commit_near_history composition, crash-staging invisibility,
+band-history compaction, the no-text-on-shuffles plan contract, and the
+CLI composition across two filter runs."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.operators import dedup as D
+
+BASE = (
+    "the data table has a key and the query can join this row with that "
+    "column value for the group and the sort will merge all of it in order"
+)
+OTHER = (
+    "completely different content about streams windows and vector "
+    "batches merging fast across the wide scan"
+)
+FRESH = (
+    "brand new unrelated document about hash scan filter sort merge "
+    "group stream batch index count sum value"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+class TestNearDedupAgainstHistory:
+    def test_two_run_semantics(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        run1 = _docs(spark, [
+            (1, BASE + " one"),
+            (2, BASE + " one extra words appended here to vary slightly"),
+            (3, OTHER),
+        ])
+        out1 = D.near_dedup_against_history(run1, "doc_id", "text", hd)
+        assert sorted(r["doc_id"] for r in out1.collect()) == [1, 3]
+        run2 = _docs(spark, [
+            (10, BASE + " one tail"),  # near-copy of kept doc 1
+            (11, FRESH),
+            (12, "short"),             # < k tokens: no signature
+        ])
+        out2 = D.near_dedup_against_history(run2, "doc_id", "text", hd)
+        assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
+        # run 2's survivors are now history too
+        run3 = _docs(spark, [(20, FRESH + " with a tiny tail")])
+        out3 = D.near_dedup_against_history(run3, "doc_id", "text", hd)
+        assert out3.count() == 0
+
+    def test_geometry_pinned(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        df = _docs(spark, [(1, BASE)])
+        D.near_dedup_against_history(df, "doc_id", "text", hd)
+        assert os.path.exists(f"{hd}/_near_params.json")
+        with pytest.raises(ValueError, match="incomparable"):
+            D.near_dedup_against_history(df, "doc_id", "text", hd, bands=4)
+        with pytest.raises(ValueError, match="incomparable"):
+            D.commit_near_history(df, "doc_id", "text", hd, num_hashes=64)
+
+    def test_pin_guard(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="pin"):
+            D.near_dedup_against_history(
+                _docs(spark, [(1, BASE)]), "doc_id", "text",
+                str(tmp_path / "nh"), pin="memory",
+            )
+
+    def test_deferred_commit_composition(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        run1 = _docs(spark, [(1, BASE + " one"), (3, OTHER)])
+        out1 = D.near_dedup_against_history(
+            run1, "doc_id", "text", hd, update_history=False
+        )
+        assert out1.count() == 2
+        # nothing committed yet: a re-probe bootstraps and keeps all
+        probe = D.near_dedup_against_history(
+            run1, "doc_id", "text", hd, update_history=False
+        )
+        assert probe.count() == 2
+        D.commit_near_history(out1, "doc_id", "text", hd)
+        # now committed: near-copies drop
+        run2 = _docs(spark, [(10, BASE + " one tail")])
+        out2 = D.near_dedup_against_history(run2, "doc_id", "text", hd)
+        assert out2.count() == 0
+
+    def test_shuffle_seen_same_rows(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        D.near_dedup_against_history(
+            _docs(spark, [(1, BASE + " one"), (3, OTHER)]),
+            "doc_id", "text", hd,
+        )
+        run2 = _docs(spark, [(10, BASE + " one tail"), (11, FRESH)])
+        a = D.near_dedup_against_history(
+            run2, "doc_id", "text", hd, update_history=False
+        )
+        b = D.near_dedup_against_history(
+            run2, "doc_id", "text", hd,
+            update_history=False, broadcast_seen=False,
+        )
+        assert (
+            sorted(r["doc_id"] for r in a.collect())
+            == sorted(r["doc_id"] for r in b.collect())
+            == [11]
+        )
+
+    def test_crashed_staging_invisible(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        D.near_dedup_against_history(
+            _docs(spark, [(1, BASE)]), "doc_id", "text", hd
+        )
+        # simulate a crashed append: hidden staging dir with garbage
+        os.makedirs(f"{hd}/_tmp-deadbeef")
+        with open(f"{hd}/_tmp-deadbeef/part-0.parquet", "w") as f:
+            f.write("not parquet")
+        out = D.near_dedup_against_history(
+            _docs(spark, [(10, BASE + " tail")]), "doc_id", "text", hd
+        )
+        assert out.count() == 0  # committed history still effective
+
+    def test_compaction_idempotent(self, spark, tmp_path):
+        hd = str(tmp_path / "nh")
+        D.near_dedup_against_history(
+            _docs(spark, [(1, BASE + " one")]), "doc_id", "text", hd
+        )
+        D.near_dedup_against_history(
+            _docs(spark, [(2, OTHER)]), "doc_id", "text", hd
+        )
+        runs = [d for d in os.listdir(hd) if d.startswith("run=")]
+        assert len(runs) == 2
+        n = D.compact_history(spark, hd, cols=("band", "bh"))
+        assert n > 0
+        runs = [d for d in os.listdir(hd) if d.startswith("run=")]
+        assert len(runs) == 1
+        assert os.path.exists(f"{hd}/_near_params.json")  # params survive
+        # probe identical after compaction
+        out = D.near_dedup_against_history(
+            _docs(spark, [(10, BASE + " one tail"), (11, FRESH)]),
+            "doc_id", "text", hd,
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+    def test_text_never_on_shuffles(self, spark, tmp_path):
+        from mysql_data_quality_spark.plans.compiler import formatted_plan
+        from tests.conftest import SF_CORRECT
+
+        hd = str(tmp_path / "nh")
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        D.near_dedup_against_history(
+            docs.limit(50), "doc_id", "text", hd
+        )
+        # the operator pins (localCheckpoint) its result, which cuts the
+        # returned frame's lineage — so assert the contract on the same
+        # building blocks it composes: band probe + anti join
+        sigs = D.minhash_signatures(docs, "doc_id", "text", 3, 32)
+        banded = D.band_rows(sigs, 32, 8)
+        hist = spark.read.parquet(hd).select("band", "bh")
+        seen = (
+            banded.join(hist, on=["band", "bh"])
+            .select("doc_id")
+            .distinct()
+        )
+        out = docs.join(F.broadcast(seen), on="doc_id", how="left_anti")
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan  # the seen-id anti join
+        blocks = re.split(r"\n\n", plan)
+        shuffles = [
+            b for b in blocks if re.match(r"\(\d+\) Exchange", b.strip())
+        ]
+        assert shuffles, "expected shuffle Exchanges (band probe)"
+        for b in shuffles:
+            assert not re.search(r"\btext#", b), (
+                f"corpus text rides a shuffle:\n{b}"
+            )
+
+    def test_cli_two_runs(self, spark, tmp_path, monkeypatch, capsys):
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        hd = str(tmp_path / "nh")
+
+        def pages(rows):
+            return (
+                spark.createDataFrame(rows, "url: string, text: string")
+                .withColumn("lang", F.lit("en"))
+                .withColumn("warc_ts", F.current_timestamp())
+                .withColumn("html", F.lit(None).cast("binary"))
+            )
+
+        src1 = str(tmp_path / "in1")
+        pages([
+            ("https://a.org/1", BASE + " one"),
+            ("https://a.org/2", OTHER),
+        ]).write.parquet(src1)
+        rc = cli.main(
+            ["filter", "--input", src1,
+             "--output", str(tmp_path / "out1"),
+             "--buckets", "2", "--near-history", hd]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["near_history_dir"] == hd
+        src2 = str(tmp_path / "in2")
+        pages([
+            ("https://b.org/1", BASE + " one tail"),  # near-copy of a.org/1
+            ("https://b.org/2", FRESH),
+        ]).write.parquet(src2)
+        rc = cli.main(
+            ["filter", "--input", src2,
+             "--output", str(tmp_path / "out2"),
+             "--buckets", "2", "--near-history", hd]
+        )
+        assert rc == 0
+        urls = {
+            r["url"]
+            for r in spark.read.parquet(
+                str(tmp_path / "out2" / "data")
+            ).select("url").collect()
+        }
+        assert urls == {"https://b.org/2"}
