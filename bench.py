@@ -412,6 +412,48 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ),
     )
 
+    # whole-site admission (cli filter --domain-threshold): decisions
+    # aggregated per domain (map-side-combining groupBy on the (domain,
+    # keep) projection), drop list broadcast-anti-joined against the
+    # full expanded corpus.  Cost ≈ one decisions pass + the rollup.
+    from mysql_data_quality_spark.operators.domains import (
+        domain_quality_filtered,
+    )
+
+    clock(
+        "domain_filter",
+        lambda: _force(
+            domain_quality_filtered(
+                pages, threshold=0.6, min_docs=10
+            ).select("url")
+        ),
+    )
+
+    # distilled quality classifier: training (MLlib L-BFGS over the raw
+    # docs' features + own-rule labels) and corpus-scale scoring (pure
+    # Column sigmoid over the full expanded corpus) timed separately —
+    # the GPT-3-recipe shape is train-small, score-everything.
+    from mysql_data_quality_spark.operators import classifier as CLS
+    from mysql_data_quality_spark.pipeline import pages as P2
+
+    cls_state = {}
+
+    def _distill():
+        raw = P2.pages_from_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        cls_state["w"] = CLS.distill_quality_classifier(raw)
+
+    clock("classifier_distill", _distill)
+    clock(
+        "classifier_score",
+        lambda: _force(
+            CLS.scored_corpus(pages, cls_state["w"]).select(
+                "url", "quality_prob"
+            )
+        ),
+    )
+
     # near-dup benches run on the raw documents table: the replica-expanded
     # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
     # near-copies), which measures pair-list size, not the operator.
@@ -448,6 +490,30 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     rot = _bench_round() % len(heavy)
     for name, fn in heavy[rot:] + heavy[:rot]:
         clock(name, fn)
+
+    # cross-run NEAR-dup dedup (cli filter --near-history): run 1
+    # bootstraps the band-hash history from the raw docs; the TIMED run
+    # probes a batch of near-copies (every doc re-arrives with a small
+    # tail) against it and commits — the steady-state cost of the
+    # cross-dump stage at a worst-case (≈100%) cross-run dup rate.
+    import shutil
+    import tempfile
+
+    nh_dir = tempfile.mkdtemp(prefix="bench_nearhist_") + "/nh"
+    dedup.near_dedup_against_history(docs_raw, "doc_id", "text", nh_dir)
+    near_batch = docs_raw.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail variant words")).alias("text"),
+    )
+    clock(
+        "near_dedup_history",
+        lambda: _force(
+            dedup.near_dedup_against_history(
+                near_batch, "doc_id", "text", nh_dir
+            )
+        ),
+    )
+    shutil.rmtree(nh_dir, ignore_errors=True)
 
     # winnowing fingerprints + substring-pair generation over the raw
     # documents (rewritten r4: windowed aggregate over exploded grams —

@@ -61,6 +61,16 @@ def main() -> None:
                     help="cross-run incremental dedup: drop documents "
                     "whose text hash is in this history dir; commit this "
                     "run's hashes after the write completes (batch only)")
+    ap.add_argument("--near-history", default=None, metavar="DIR",
+                    help="cross-run NEAR-dup dedup: minhash within-batch "
+                    "dedup, then drop docs whose LSH band hashes collide "
+                    "with any previously-kept doc; band rows commit after "
+                    "the write completes (batch only)")
+    ap.add_argument("--domain-threshold", type=float, default=None,
+                    metavar="RATE",
+                    help="drop WHOLE domains whose keep-rate under the "
+                    "rule registry is below RATE (batch only)")
+    ap.add_argument("--domain-min-docs", type=int, default=5)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if args.stream and not (args.input and args.checkpoint):
@@ -69,6 +79,10 @@ def main() -> None:
         ap.error("--dedup-history is batch-only (a stream has no "
                  "corpus-snapshot boundary to commit a history run at); "
                  "use --dedup for stateful first-seen dedup instead")
+    if args.stream and (args.near_history or args.domain_threshold
+                        is not None):
+        ap.error("--near-history/--domain-threshold are batch-only "
+                 "(both need a corpus-snapshot view)")
 
     from mysql_data_quality_spark.core.session import get_spark
     from mysql_data_quality_spark.pipeline import pages as P
@@ -121,6 +135,24 @@ def main() -> None:
                 pages, "url", "text", args.dedup_history,
                 update_history=False, keep_hash_col=True,
             )
+        if args.near_history:
+            from mysql_data_quality_spark.operators.dedup import (
+                near_dedup_against_history,
+            )
+
+            pages = near_dedup_against_history(
+                pages, "url", "text", args.near_history,
+                update_history=False,
+            )
+        if args.domain_threshold is not None:
+            from mysql_data_quality_spark.operators.domains import (
+                domain_quality_filtered,
+            )
+
+            pages = domain_quality_filtered(
+                pages, args.domain_threshold,
+                min_docs=args.domain_min_docs,
+            )
         ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
         # rule-hit metrics ride the write pass via observe() — no second
         # pipeline execution (quality_filter.observe_metrics)
@@ -160,6 +192,13 @@ def main() -> None:
 
             commit_history(pages, args.dedup_history)
             out["history_dir"] = args.dedup_history
+        if args.near_history:
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_near_history,
+            )
+
+            commit_near_history(pages, "url", "text", args.near_history)
+            out["near_history_dir"] = args.near_history
         print(json.dumps(out))
     finally:
         spark.stop()
