@@ -167,3 +167,52 @@ def hash_split_sql(
     last_esc = last_name.replace("'", "''")
     case = f"case {' '.join(whens)} else '{last_esc}' end"
     return f"select *, {case} as {out_col} from {rel}"
+
+
+def temperature_mix_rates(
+    df: DataFrame, source_col: str, alpha: float
+) -> dict[str, float]:
+    """Per-source keep rates that tilt the corpus mixture toward
+    ``p_s^alpha`` (the multilingual/multi-source temperature recipe:
+    alpha < 1 flattens the mixture so small sources aren't drowned;
+    alpha = 1 is a no-op; exact uniform target needs alpha -> 0).
+
+    Downsampling-only realization (a filter can't upsample): the kept
+    count per source should be proportional to ``p_s^alpha``, so
+    ``r_s ∝ p_s^(alpha-1)``, max-normalized so the most-downsampled
+    source anchors at the largest feasible rate <= 1.  Rates are
+    computed ONCE driver-side from the per-source counts (one
+    map-side-combining groupBy, output = #sources rows) and embedded as
+    literals in BOTH engines' plans — cross-engine parity is by
+    construction, no float re-derivation."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    raw = {
+        s: (n / total) ** (float(alpha) - 1.0) for s, n in counts.items()
+    }
+    peak = max(raw.values())
+    return {s: min(1.0, v / peak) for s, v in raw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float,
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`temperature_mix_rates` + the deterministic stratified
+    sampler: one pure-map filter, kept set stable across partitionings,
+    reruns, and engines (oracle via :func:`stratified_sample_sql` with
+    the same rates dict)."""
+    rates = temperature_mix_rates(df, source_col, alpha)
+    return stratified_sample(df, id_col, source_col, rates, seed=seed)
