@@ -334,6 +334,23 @@ def cmd_filter(args) -> int:
                 corpus_id="url",
                 corpus_text="text",
             )
+            fuzzy_thr = getattr(args, "decontaminate_fuzzy", None)
+            if fuzzy_thr is not None:
+                # fuzzy pass on top of the exact one: paraphrased eval
+                # leaks (a changed word breaks every 13-gram through it
+                # but barely moves shingle Jaccard) caught by minhash
+                # band collision + signature-agreement verification
+                from mysql_data_quality_spark.operators.decontaminate import (
+                    fuzzy_decontaminated_corpus,
+                )
+
+                pages = fuzzy_decontaminated_corpus(
+                    pages,
+                    spark.read.parquet(decon),
+                    threshold=fuzzy_thr,
+                    corpus_id="url",
+                    corpus_text="text",
+                )
         if near:
             # FUZZY dedup stage (the near-dup pass every real training
             # pipeline runs after exact dedup): sub-quadratic candidate
@@ -770,6 +787,15 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=13,
         help="n-gram size for --decontaminate (13 = the GPT-3 recipe)",
+    )
+    f.add_argument(
+        "--decontaminate-fuzzy",
+        type=float,
+        default=None,
+        metavar="JACCARD",
+        help="with --decontaminate: ALSO drop documents whose minhash "
+        "signature agreement with any eval document reaches this "
+        "threshold (catches paraphrased leaks exact n-grams miss)",
     )
     f.add_argument(
         "--near-history",

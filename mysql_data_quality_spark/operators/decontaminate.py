@@ -140,3 +140,114 @@ def decontaminated_corpus_sql(
         f"select * from {corpus_rel} where {corpus_id} not in ("
         f"select doc_id from ({flagged}))"
     )
+
+
+def fuzzy_contaminated_docs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> DataFrame:
+    """(doc_id, est_jaccard): corpus documents NEAR-duplicating any eval
+    document — the fuzzy complement of :func:`contaminated_docs` for
+    paraphrased / lightly-edited eval leakage that exact n-gram overlap
+    misses (a single changed word breaks all 13-grams through it, but
+    barely moves shingle Jaccard).
+
+    Same scale discipline as the exact path, swapped to the minhash
+    machinery (``operators/dedup.py``): the EVAL side's signatures and
+    band hashes are tiny and BROADCAST; the corpus side computes
+    signatures once (persisted — feeds the band join and the scoring
+    join; the returned frame owns the cache lifetime), its band rows
+    carry (doc_id, band, bh) only, and candidates from band collisions
+    are verified by signature agreement >= ``threshold`` (est_jaccard),
+    so a stray band collision cannot flag a clean document.  The corpus
+    text never rides a shuffle.  Default geometry is 2 rows/band
+    (32/16) — a steep S-curve biased toward RECALL: decontamination
+    would rather inspect an extra clean document than ship a leaked
+    one; the agreement check supplies the precision the loose banding
+    gives up.
+
+    No DuckDB oracle (xxhash64 family — same adjudication as the other
+    minhash operators); pytest-pinned semantics instead: paraphrased
+    leaks flagged, the exact path's misses demonstrated, clean docs
+    untouched."""
+    from pyspark import StorageLevel
+
+    from mysql_data_quality_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ev = eval_df.select(
+        F.xxhash64(F.coalesce(F.col(eval_text), F.lit(""))).alias("_ev_id"),
+        F.col(eval_text).alias("_ev_text"),
+    )
+    ev_sigs = minhash_signatures(ev, "_ev_id", "_ev_text", k, num_hashes)
+    ev_bands = band_rows(ev_sigs, num_hashes, bands).withColumnRenamed(
+        "doc_id", "_ev_id"
+    )
+    c_sigs = minhash_signatures(
+        corpus, corpus_id, corpus_text, k, num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c_bands = band_rows(c_sigs, num_hashes, bands)
+    cand = (
+        c_bands.join(F.broadcast(ev_bands), on=["band", "bh"])
+        .select("doc_id", "_ev_id")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "_ev_sig", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    # the candidate list is contamination-sized (small); broadcasting it
+    # keeps the corpus-wide signature frame OUT of any shuffle — the
+    # verification join is a broadcast probe over c_sigs' map output
+    return (
+        c_sigs.join(F.broadcast(cand), on="doc_id")
+        .join(
+            F.broadcast(
+                ev_sigs.select(
+                    F.col("doc_id").alias("_ev_id"),
+                    F.col("sig").alias("_ev_sig"),
+                )
+            ),
+            on="_ev_id",
+        )
+        .withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def fuzzy_decontaminated_corpus(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_text: str = "text",
+) -> DataFrame:
+    """The corpus minus fuzzy-contaminated documents — flagged ids are
+    few, broadcast anti join, corpus never shuffles (the
+    deduplicated_corpus plan shape)."""
+    flagged = fuzzy_contaminated_docs(
+        corpus, eval_df, threshold, k, num_hashes, bands,
+        corpus_id, corpus_text, eval_text,
+    ).select(F.col("doc_id").alias(corpus_id))
+    return corpus.join(F.broadcast(flagged), on=corpus_id, how="left_anti")

@@ -336,3 +336,117 @@ class TestDecontamination:
         assert rc == 0
         urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
         assert urls == {"u1"}
+
+
+class TestFuzzyDecontamination:
+    """Minhash-based fuzzy eval-leak detection: paraphrased leaks the
+    exact n-gram path misses, verified by signature agreement so band
+    noise can't flag clean docs."""
+
+    def _frames(self, spark):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        bench = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "rain falls on the quiet town and the river flows past "
+            "the old stone bridge toward the distant sea every day"
+        )
+        words = bench.split()
+        # paraphrase: every 13th word swapped (spacing <= n keeps a
+        # change inside every 13-gram window) -> NO 13-gram survives,
+        # but shingle Jaccard stays high
+        par = list(words)
+        for i in range(6, len(par), 13):
+            par[i] = "CHANGED"
+        paraphrase = " ".join(par)
+        rows = [
+            (1, "prefix words " + paraphrase + " suffix words"),
+            (2, "completely unrelated content about spark shuffles "
+                "codegen exchanges partitions and broadcast joins all "
+                "day long in the cluster with many stages running"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        eval_df = spark.createDataFrame([(bench,)], "text: string")
+        return corpus, eval_df
+
+    def test_fuzzy_catches_what_exact_misses(self, spark):
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        corpus, eval_df = self._frames(spark)
+        exact = D.contaminated_docs(corpus, eval_df, n=13).collect()
+        assert exact == []  # every 13-gram broken by the swaps
+        # rows-per-band 2 (32/16) so the LSH S-curve is steep enough to
+        # catch j≈0.6 with near-certainty; est_jaccard is DETERMINISTIC
+        # (fixed xxhash64 seeds): measured 0.59375 for doc 1
+        fuzzy = {
+            r["doc_id"]: r["est_jaccard"]
+            for r in D.fuzzy_contaminated_docs(
+                corpus, eval_df, threshold=0.4, num_hashes=32, bands=16
+            ).collect()
+        }
+        assert set(fuzzy) == {1}
+        assert fuzzy[1] == 0.59375
+        kept = sorted(
+            r["doc_id"]
+            for r in D.fuzzy_decontaminated_corpus(
+                corpus, eval_df, threshold=0.4, num_hashes=32, bands=16
+            ).select("doc_id").collect()
+        )
+        assert kept == [2]
+
+    def test_threshold_guard_and_clean_corpus(self, spark):
+        import pytest
+
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        corpus, eval_df = self._frames(spark)
+        with pytest.raises(ValueError):
+            D.fuzzy_contaminated_docs(corpus, eval_df, threshold=0.0)
+        # a high threshold the paraphrase can't reach flags nothing
+        assert D.fuzzy_contaminated_docs(
+            corpus, eval_df, threshold=0.99
+        ).collect() == []
+
+    def test_corpus_sigs_not_shuffled(self, spark):
+        """The verification join broadcasts the candidate list, so the
+        corpus-wide signature frame never rides a shuffle Exchange."""
+        import re
+
+        from mysql_data_quality_spark.operators import decontaminate as D
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        ev = docs.where(F.col("doc_id") % 97 == 0).select("text")
+        df = D.fuzzy_contaminated_docs(docs, ev, threshold=0.8)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for b in re.split(r"\n\n", plan):
+            if re.match(r"\(\d+\) Exchange", b.strip()):
+                assert not re.search(r"\bsig#|\btext#", b), b
+
+    def test_cli_fuzzy(self, spark, tmp_path, monkeypatch):
+        from mysql_data_quality_spark import cli
+
+        corpus, eval_df = self._frames(spark)
+        pages = (
+            corpus.select(
+                F.concat(F.lit("https://t.org/"),
+                         F.col("doc_id").cast("string")).alias("url"),
+                "text",
+            )
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+        monkeypatch.chdir(tmp_path)
+        inp, ev, out = (str(tmp_path / d) for d in ("in", "eval", "out"))
+        pages.write.parquet(inp)
+        eval_df.write.parquet(ev)
+        rc = cli.main(["filter", "--input", inp, "--output", out,
+                       "--buckets", "2", "--decontaminate", ev,
+                       "--decontaminate-fuzzy", "0.4"])
+        assert rc == 0
+        urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
+        assert urls == {"https://t.org/2"}
