@@ -412,6 +412,20 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ),
     )
 
+    # Unicode script features: 10 run-quantified regexp_replace passes
+    # per doc (one per tracked script) + the dominant-script CASE —
+    # the honest cost of script detection as pure Column regex
+    from mysql_data_quality_spark.functions.scripts import (
+        with_script_features,
+    )
+
+    clock(
+        "script_features",
+        lambda: _force(
+            with_script_features(pages).select("url", "dominant_script")
+        ),
+    )
+
     # whole-site admission (cli filter --domain-threshold): decisions
     # aggregated per domain (map-side-combining groupBy on the (domain,
     # keep) projection), drop list broadcast-anti-joined against the

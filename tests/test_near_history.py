@@ -56,6 +56,19 @@ class TestNearDedupAgainstHistory:
         out3 = D.near_dedup_against_history(run3, "doc_id", "text", hd)
         assert out3.count() == 0
 
+    def test_empty_batch(self, spark, tmp_path):
+        """An empty batch bootstraps/commits an empty run without error
+        and leaves the history usable."""
+        hd = str(tmp_path / "nh")
+        empty = _docs(spark, [])
+        out = D.near_dedup_against_history(empty, "doc_id", "text", hd)
+        assert out.count() == 0
+        # real run after the empty commit: history reads fine
+        out2 = D.near_dedup_against_history(
+            _docs(spark, [(1, BASE)]), "doc_id", "text", hd
+        )
+        assert out2.count() == 1
+
     def test_geometry_pinned(self, spark, tmp_path):
         hd = str(tmp_path / "nh")
         df = _docs(spark, [(1, BASE)])
