@@ -573,6 +573,98 @@ def cmd_compact_history(args) -> int:
         return 0
 
 
+def cmd_corpus_stats(args) -> int:
+    """One-command corpus profile — the report a curator reads before
+    configuring the filter: volumetry, duplicate rate, token-length
+    histogram, language + Unicode-script distributions, top domains.
+
+    Every component is one of the engine's oracle/parity-tested
+    operators; the scan is cached so the component jobs share it.  All
+    aggregations are map-side combinable (no windows, no sorts beyond
+    the bounded top-domains limit); ``--approx`` swaps the exact
+    distinct-text count for HLL ``approx_count_distinct`` (the 10^12-row
+    path)."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_quality_spark.functions.scripts import (
+        script_distribution,
+    )
+    from mysql_data_quality_spark.operators.dedup import normalized_text_col
+    from mysql_data_quality_spark.operators.skew import domain_stats
+    from mysql_data_quality_spark.operators.textstats import (
+        language_distribution,
+        token_length_histogram,
+    )
+    from mysql_data_quality_spark.pipeline import pages as P
+
+    with _Session(args.cores) as spark:
+        pages = (
+            spark.read.parquet(args.input)
+            if args.input
+            else P.read_pages(spark, args.documents)
+        )
+        pages = pages.cache()
+        h = F.md5(normalized_text_col(F.col("text")))
+        distinct = (
+            F.approx_count_distinct(h)
+            if args.approx
+            else F.count_distinct(h)
+        )
+        head = pages.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.length(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("total_chars"),
+            distinct.alias("distinct_texts"),
+        ).collect()[0]
+        n_docs = head["n_docs"]
+        report = {
+            "n_docs": n_docs,
+            "total_chars": head["total_chars"] or 0,
+            "distinct_texts": head["distinct_texts"],
+            "duplicate_fraction": (
+                round(1.0 - head["distinct_texts"] / n_docs, 6)
+                if n_docs
+                else 0.0
+            ),
+            "distinct_mode": "approx_hll" if args.approx else "exact",
+            "token_length_histogram": {
+                r["bucket"]: {
+                    "n_docs": r["n_docs"],
+                    "total_tokens": r["total_tokens"],
+                }
+                for r in token_length_histogram(pages).collect()
+            },
+            "language_distribution": {
+                r["det_lang"]: r["n_docs"]
+                for r in language_distribution(pages).collect()
+            },
+            "script_distribution": {
+                r["dominant_script"]: r["n_docs"]
+                for r in script_distribution(pages).collect()
+            },
+            "top_domains": [
+                {
+                    "domain": r["domain"],
+                    "n_docs": r["n_docs"],
+                    "total_chars": r["total_chars"],
+                }
+                for r in domain_stats(pages)
+                .orderBy(F.desc("n_docs"), "domain")
+                .limit(args.top_domains)
+                .collect()
+            ],
+        }
+        pages.unpersist()
+        out = json.dumps(report)
+        if getattr(args, "output", None):
+            p = Path(args.output)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(out)
+        print(out)
+        return 0
+
+
 def cmd_distill(args) -> int:
     """Distill the rule registry into a logistic-regression quality
     classifier: train on the engine's own keep/drop verdicts over the
@@ -867,6 +959,25 @@ def build_parser() -> argparse.ArgumentParser:
         "(distinct over (band, bh) instead of text_md5)",
     )
     ch.set_defaults(fn=cmd_compact_history)
+
+    cs = sub.add_parser(
+        "corpus-stats",
+        help="one-pass corpus profile: volumetry, dup rate, token/lang/"
+        "script distributions, top domains",
+    )
+    cssrc = cs.add_mutually_exclusive_group(required=True)
+    cssrc.add_argument("--input")
+    cssrc.add_argument("--documents")
+    cs.add_argument("--output", default=None,
+                    help="also write the JSON report to this path")
+    cs.add_argument("--top-domains", type=int, default=20)
+    cs.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL approx_count_distinct for the distinct-text count "
+        "(the 10^12-row path; exact by default)",
+    )
+    cs.set_defaults(fn=cmd_corpus_stats)
 
     di = sub.add_parser(
         "distill",

@@ -724,3 +724,81 @@ class TestCliStreamMetrics:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["metric_windows"] == 0
         assert stats["input_rows"] == 20
+
+
+class TestCorpusStats:
+    def test_cli_corpus_stats_vs_duckdb(
+        self, spark, tmp_path, monkeypatch, capsys, duck
+    ):
+        """The one-command profile's scalar fields, histogram, and top
+        domains replay exactly in DuckDB (langs/scripts come from
+        operators that carry their own parity suites)."""
+        import json as _json
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.operators.dedup import (
+            normalized_text_sql,
+        )
+        from mysql_data_quality_spark.operators.skew import domain_stats_sql
+        from mysql_data_quality_spark.operators.textstats import (
+            token_length_histogram_sql,
+        )
+        from mysql_data_quality_spark.pipeline import pages as P
+
+        monkeypatch.chdir(tmp_path)
+        out_file = tmp_path / "stats.json"
+        rc = cli.main([
+            "corpus-stats", "--documents", SF_CORRECT,
+            "--output", str(out_file), "--top-domains", "5",
+        ])
+        assert rc == 0
+        got = _json.loads(out_file.read_text())
+        assert got == _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        duck.sql(
+            "create or replace view _cs_pages as "
+            "with pages as (" + P.pages_cte_sql() + ") select * from pages"
+        )
+        head = duck.sql(
+            "select count(*) n, sum(length(coalesce(text, ''))) c, "
+            f"count(distinct md5({normalized_text_sql('text')})) d "
+            "from _cs_pages"
+        ).fetchone()
+        assert got["n_docs"] == head[0]
+        assert got["total_chars"] == head[1]
+        assert got["distinct_texts"] == head[2]
+        assert got["duplicate_fraction"] == round(1 - head[2] / head[0], 6)
+        hist = {
+            r[0]: {"n_docs": r[1], "total_tokens": r[2]}
+            for r in duck.sql(
+                token_length_histogram_sql("_cs_pages")
+            ).fetchall()
+        }
+        assert got["token_length_histogram"] == hist
+        doms = duck.sql(
+            "select * from (" + domain_stats_sql("_cs_pages") + ") "
+            "order by n_docs desc, domain limit 5"
+        ).fetchall()
+        assert got["top_domains"] == [
+            {"domain": d, "n_docs": n, "total_chars": c}
+            for d, n, c in doms
+        ]
+        assert sum(got["language_distribution"].values()) == head[0]
+        assert sum(got["script_distribution"].values()) == head[0]
+
+    def test_cli_corpus_stats_approx(self, spark, tmp_path, monkeypatch,
+                                     capsys):
+        import json as _json
+
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "corpus-stats", "--documents", SF_CORRECT, "--approx",
+        ])
+        assert rc == 0
+        got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["distinct_mode"] == "approx_hll"
+        # HLL estimate within 5% of the true distinct count
+        assert abs(got["distinct_texts"] - 476) / 476 < 0.05
