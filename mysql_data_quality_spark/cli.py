@@ -417,6 +417,25 @@ def cmd_filter(args) -> int:
                 domain_quality_filtered,
             )
 
+            # the stats pass + the final write are TWO consumers of the
+            # composed upstream plan (blocklist/dedup/decontaminate all
+            # rerun per consumer) — pin once so each stage executes once.
+            # Skip the pin when pages is still the raw scan (re-reading
+            # parquet is cheaper than materializing it) or already
+            # pinned by the near-history stage.
+            post_pin = (
+                getattr(args, "dedup_paragraph", False) or decon or near
+            )
+            pinned_already = bool(near_hist) or (
+                bool(hist_dir) and not post_pin
+            )  # those stages localCheckpoint internally
+            staged = any((
+                blfile, getattr(args, "extract_html", False), norm,
+                getattr(args, "dedup_lines", False),
+                getattr(args, "dedup", False), hist_dir, post_pin,
+            ))
+            if staged and not pinned_already:
+                pages = pages.localCheckpoint()
             pages = domain_quality_filtered(
                 pages, dom_thr,
                 min_docs=getattr(args, "domain_min_docs", 5),

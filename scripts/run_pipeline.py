@@ -149,6 +149,14 @@ def main() -> None:
                 domain_quality_filtered,
             )
 
+            # stats pass + final write both consume the upstream plan —
+            # pin once so earlier stages execute once (skip when pages
+            # is the raw scan or already pinned by near-history)
+            # dedup_history/near_history pin internally; plain --dedup
+            # does not
+            if (args.dedup and not args.dedup_history
+                    and not args.near_history):
+                pages = pages.localCheckpoint()
             pages = domain_quality_filtered(
                 pages, args.domain_threshold,
                 min_docs=args.domain_min_docs,
