@@ -65,3 +65,42 @@ def cpf_valid_udf() -> Column:
 
 def cnpj_valid_udf() -> Column:
     return pandas_udf(cnpj_valid_batch, "boolean")
+
+
+# ---------------------------------------------------------------------------
+# Luhn (ISO/IEC 7812) — payment-card numbers.  Same extension-point shape
+# as the mod-11 validators above: numpy batch math inside an Arrow UDF,
+# variable length 13-19 digits.
+# ---------------------------------------------------------------------------
+def luhn_valid_batch(values: pd.Series) -> pd.Series:
+    """True where the value (after stripping spaces/dashes/dots) is
+    13-19 digits passing the Luhn checksum; all-same-digit rejected
+    (0000... passes Luhn but is never a real PAN)."""
+    stripped = values.fillna("").astype(str).str.replace(
+        r"[^\d]", "", regex=True
+    )
+    lens = stripped.str.len().to_numpy()
+    ok = (lens >= 13) & (lens <= 19)
+    out = np.zeros(len(values), dtype=bool)
+    if ok.any():
+        # right-align into a fixed 19-wide digit matrix so doubling
+        # positions (every second from the right) are column-constant
+        padded = stripped[ok].str.rjust(19, "0")
+        d = np.array(
+            padded.apply(lambda s: [int(c) for c in s]).tolist(),
+            dtype=np.int64,
+        )
+        dbl = d.copy()
+        cols = np.arange(19)
+        second_from_right = (18 - cols) % 2 == 1
+        dbl[:, second_from_right] *= 2
+        dbl[dbl > 9] -= 9
+        luhn = dbl.sum(axis=1) % 10 == 0
+        sub = stripped[ok]
+        not_same = ~sub.apply(lambda s: len(set(s)) == 1).to_numpy()
+        out[np.asarray(ok)] = luhn & not_same
+    return pd.Series(out, dtype="bool")
+
+
+def luhn_valid_udf() -> Column:
+    return pandas_udf(luhn_valid_batch, "boolean")

@@ -68,3 +68,58 @@ def scrub_sql(text: str) -> str:
 
 def _sql_quote(regex: str) -> str:
     return regex.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# Opt-in payment-card scrubbing (NOT in SCRUB_CHAIN: the chain's output is
+# the golden-pinned byte-identity contract; adding a stage would change
+# every shipped scrubbed_text.  Compose it explicitly where needed.)
+#
+# A regex alone over-redacts (phone-ish digit runs); each candidate is
+# verified with the Luhn checksum (functions/checkdigits.py carries the
+# vectorized column-level validator) before replacement, so only
+# checksum-valid PANs are touched.  Verification is inherently
+# procedural — this is an Arrow pandas UDF with per-match Python, the
+# documented slow path, opt-in like the ARPA scorer; no DuckDB twin
+# (pinned against hand vectors instead).
+# ---------------------------------------------------------------------------
+def _luhn_ok(digits: str) -> bool:
+    if not (13 <= len(digits) <= 19) or len(set(digits)) == 1:
+        return False
+    total = 0
+    for i, c in enumerate(reversed(digits)):
+        d = int(c)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def scrub_credit_cards_udf() -> Column:
+    """Arrow UDF: replace Luhn-valid 13-19 digit card candidates
+    (optionally space/dash separated) with ``<CARD>``; checksum-invalid
+    digit runs pass through untouched."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pat = _re.compile(r"(?<!\d)(?:\d[ -]?){12,18}\d(?!\d)")
+
+    def repl(m: "_re.Match") -> str:
+        return (
+            "<CARD>"
+            if _luhn_ok(_re.sub(r"\D", "", m.group(0)))
+            else m.group(0)
+        )
+
+    # no type hints: pandas is imported locally, so quoted 'pd.Series'
+    # hints can't resolve against module globals (pandas_udf would raise)
+    def batch(values):
+        return values.fillna("").astype(str).map(
+            lambda s: pat.sub(repl, s)
+        )
+
+    return pandas_udf(batch, "string")

@@ -83,3 +83,73 @@ class TestCheckdigitsBatch:
         )
         assert checkdigits.cnpj_valid_batch(cnpjs).tolist() == [
             True, True, True, False, False, False]
+
+
+class TestLuhnAndCardScrub:
+    # reference vectors: well-known test PANs (Luhn-valid by
+    # construction) and their single-digit corruptions
+    VALID = ["4111111111111111", "5500 0000 0000 0004", "3400-0000-0000-009",
+             "6011000000000004"]
+    INVALID = ["4111111111111112", "1234567812345678", "0000000000000000",
+               "411111111111", None, "", "not digits at all"]
+
+    def test_luhn_column_validator(self, spark):
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.functions.checkdigits import (
+            luhn_valid_batch,
+            luhn_valid_udf,
+        )
+
+        import pandas as pd
+
+        vals = self.VALID + self.INVALID
+        got = luhn_valid_batch(pd.Series(vals)).tolist()
+        assert got == [True] * len(self.VALID) + [False] * len(self.INVALID)
+        df = spark.createDataFrame([(v,) for v in vals], "card: string")
+        rows = df.select(
+            luhn_valid_udf()(F.col("card")).alias("ok")
+        ).collect()
+        assert [r["ok"] for r in rows] == got
+
+    def test_card_scrub_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.rules.pii import (
+            scrub_credit_cards_udf,
+        )
+
+        rows = [
+            (1, "pay 4111111111111111 now"),            # valid -> scrubbed
+            (2, "pay 4111 1111 1111 1111 now"),         # separators too
+            (3, "ref 1234567812345678 invoice"),        # luhn-fail -> kept
+            (4, "phone 1234-5678 is short"),            # too short -> kept
+            (5, None),
+            (6, "two cards 4111111111111111 and 5500 0000 0000 0004."),
+        ]
+        df = spark.createDataFrame(rows, "id: bigint, text: string")
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", scrub_credit_cards_udf()(F.col("text")).alias("t")
+            ).collect()
+        }
+        assert got[1] == "pay <CARD> now"
+        assert got[2] == "pay <CARD> now"
+        assert got[3] == "ref 1234567812345678 invoice"
+        assert got[4] == "phone 1234-5678 is short"
+        assert got[5] == ""
+        assert got[6] == "two cards <CARD> and <CARD>."
+
+    def test_default_scrub_chain_untouched(self, spark):
+        """Cards are OPT-IN: the golden-pinned default chain must not
+        redact them (byte-identity contract)."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark.rules import pii
+
+        df = spark.createDataFrame(
+            [("pay 4111111111111111 now",)], "text: string"
+        )
+        out = df.select(pii.scrub_col(F.col("text")).alias("t")).collect()
+        assert out[0]["t"] == "pay 4111111111111111 now"
