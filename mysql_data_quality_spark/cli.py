@@ -242,6 +242,14 @@ def cmd_filter(args) -> int:
             pages = blocklist_filtered_corpus(
                 pages, read_blocklist(spark, blfile), "url"
             )
+        if getattr(args, "drop_noindex", False):
+            # honor robots noindex before anything else touches the
+            # payload: pure-map filter on the raw html (NULL html kept)
+            from mysql_data_quality_spark.functions.htmltext import (
+                drop_noindex,
+            )
+
+            pages = drop_noindex(pages)
         if getattr(args, "extract_html", False):
             # WARC-payload ingest: fill missing text from the raw html
             # (pure-Column extraction; rows with text keep it byte-identical)
@@ -884,6 +892,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="fill missing text from the raw html payload (regex "
         "visible-text extraction, pure Column exprs) before the rules",
+    )
+    f.add_argument(
+        "--drop-noindex",
+        action="store_true",
+        help="drop pages whose html carries a robots noindex meta tag "
+        "(site-owner opt-out; rows without html are kept)",
     )
     f.add_argument(
         "--decontaminate",

@@ -92,3 +92,44 @@ def extract_text_sql(html: str) -> str:
     s = f"regexp_replace({s}, ' ?\\n ?', chr(10), 'g')"
     s = f"regexp_replace({s}, '\\n{{2,}}', chr(10), 'g')"
     return f"regexp_replace({s}, '^[\\n ]+|[\\n ]+$', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives — a crawl pipeline that keeps noindex'd pages is
+# republishing content the site owner opted out of surfacing
+# ---------------------------------------------------------------------------
+#: <meta ... name="robots" ... content="...noindex..."> in either
+#: attribute order, quotes optional — common subset of Java regex / RE2
+#: (no backreferences, so the two orders are spelled out)
+_NOINDEX_RE = (
+    r"(?is)<meta\b(?:"
+    r"[^>]*\bname\s*=\s*[\"']?robots[\"']?[^>]*"
+    r"\bcontent\s*=\s*[\"']?[^\"'>]*noindex"
+    r"|"
+    r"[^>]*\bcontent\s*=\s*[\"']?[^\"'>]*noindex[^\"'>]*[\"']?[^>]*"
+    r"\bname\s*=\s*[\"']?robots[\"']?"
+    r")"
+)
+
+
+def html_noindex_col(html: Column) -> Column:
+    """True where the raw payload carries a robots ``noindex`` meta tag
+    (either attribute order, any case, quoted or bare).  Pure Column
+    regex over the decoded payload — zero shuffles; NULL/empty html →
+    false."""
+    return F.coalesce(F.decode(html, "UTF-8"), F.lit("")).rlike(_NOINDEX_RE)
+
+
+def html_noindex_sql(html: str) -> str:
+    """DuckDB twin (same pattern; see the module's encoding
+    precondition)."""
+    pat = _NOINDEX_RE.replace("'", "''")
+    return (
+        f"regexp_matches(coalesce(decode({html}), ''), '{pat}')"
+    )
+
+
+def drop_noindex(pages, html_col: str = "html"):
+    """Corpus minus noindex'd pages — a pure-map filter (rows whose html
+    is NULL are kept: no payload, no directive)."""
+    return pages.where(~html_noindex_col(F.col(html_col)))

@@ -450,3 +450,73 @@ class TestFuzzyDecontamination:
         assert rc == 0
         urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
         assert urls == {"https://t.org/2"}
+
+
+class TestNoindex:
+    VECTORS = [
+        (1, b'<html><meta name="robots" content="noindex, nofollow">x'),
+        (2, b'<meta content="NOINDEX" name="ROBOTS">y'),      # swapped+case
+        (3, b"<meta name=robots content=noindex>z"),          # bare attrs
+        (4, b'<meta name="robots" content="index, follow">ok'),
+        (5, b'<meta name="viewport" content="noindex-like">ok'),
+        (6, b"plain page with the word noindex in prose"),
+        (7, None),
+        (8, b""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.VECTORS, "doc_id: bigint, html: binary"
+        )
+
+    def test_vectors_and_duckdb_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from mysql_data_quality_spark.functions import htmltext as H
+
+        got = {
+            r["doc_id"]: r["f"]
+            for r in self._df(spark)
+            .select("doc_id", H.html_noindex_col(F.col("html")).alias("f"))
+            .collect()
+        }
+        assert got == {1: True, 2: True, 3: True, 4: False,
+                       5: False, 6: False, 7: False, 8: False}
+        con = duckdb.connect()
+        con.register("v", pd.DataFrame({
+            "doc_id": [d for d, _ in self.VECTORS],
+            "html": [h for _, h in self.VECTORS],
+        }))
+        dk = {
+            int(d): bool(f)
+            for d, f in con.sql(
+                f"select doc_id, {H.html_noindex_sql('html')} from v"
+            ).fetchall()
+        }
+        assert dk == got
+
+    def test_cli_drop_noindex(self, spark, tmp_path, monkeypatch):
+        from mysql_data_quality_spark import cli
+
+        body = ("a perfectly fine document with normal words that pass "
+                "the rules easily and say nothing at all.")
+        rows = [
+            ("u1", body, None),
+            ("u2", body + " two",
+             b'<html><meta name="robots" content="noindex">'),
+        ]
+        pages = (
+            spark.createDataFrame(rows, "url: string, text: string, html: binary")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .select("url", "warc_ts", "html", "text", "lang")
+        )
+        monkeypatch.chdir(tmp_path)
+        inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+        pages.write.parquet(inp)
+        rc = cli.main(["filter", "--input", inp, "--output", out,
+                       "--buckets", "2", "--drop-noindex"])
+        assert rc == 0
+        urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
+        assert urls == {"u1"}
