@@ -192,6 +192,11 @@ def temperature_mix_rates(
         for r in df.groupBy(F.col(source_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        # NULL-source rows can't be named in a rates dict (and a None
+        # key would break the sampler's sorted CASE build); they fall to
+        # stratified_sample's default rate of 0 — an unlabeled source
+        # has no place in a weighted mixture
+        if r["s"] is not None
     }
     total = sum(counts.values())
     if not total:

@@ -191,3 +191,11 @@ class TestTemperatureMix:
             + " order by url"
         ).df()
         assert (sp.url.values == dk.url.values).all()
+
+    def test_null_source_rows_drop_not_crash(self, spark):
+        rows = [("a/1", "a"), ("a/2", "a"), ("x/1", None)]
+        df = spark.createDataFrame(rows, "url: string, source: string")
+        out = S.temperature_mix(df, "url", "source", alpha=0.5)
+        kept = {r["url"] for r in out.collect()}
+        assert "x/1" not in kept          # unlabeled source: default 0
+        assert kept == {"a/1", "a/2"}     # single source anchors at 1.0
