@@ -282,6 +282,7 @@ def cmd_filter(args) -> int:
         hist_dir = getattr(args, "dedup_history", None)
         near = getattr(args, "dedup_near", None)
         near_hist = getattr(args, "near_history", None)
+        fuzzy_sigs = None
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -359,6 +360,7 @@ def cmd_filter(args) -> int:
                     corpus_id="url",
                     corpus_text="text",
                 )
+                fuzzy_sigs = pages._persisted_sigs
         if near:
             # FUZZY dedup stage (the near-dup pass every real training
             # pipeline runs after exact dedup): sub-quadratic candidate
@@ -463,6 +465,10 @@ def cmd_filter(args) -> int:
             group_size=args.group_size,
             files_per_bucket=args.files_per_bucket,
         )
+        if fuzzy_sigs is not None:
+            # write done: release the fuzzy-decontamination signature
+            # cache (caller-owned lifetime contract)
+            fuzzy_sigs.unpersist()
         if stats["input_scans"] > 0:  # observation fires with the write job
             res = QF.metrics_from_observation(obs.get, rules=rules)
             paths = write_unified_report(

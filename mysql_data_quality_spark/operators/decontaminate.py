@@ -68,10 +68,13 @@ def contaminated_docs(
         .distinct()
     )
     corpus_grams = _gram_rows(corpus, corpus_id, corpus_text, n)
+    # (doc_id, gram) is unique by construction (array_distinct per doc,
+    # distinct eval grams), so a plain count equals count_distinct
+    # without the distinct-aggregate machinery (map-side combinable)
     return (
         corpus_grams.join(F.broadcast(eval_grams), on="gram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_eval_grams_hit"))
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
     )
 
 
@@ -83,17 +86,14 @@ def contaminated_docs_sql(
     corpus_text: str = "text",
     eval_text: str = "text",
 ) -> str:
-    from mysql_data_quality_spark.functions.text import tokens_sql
+    from mysql_data_quality_spark.functions.text import ngrams_sql, tokens_sql
 
     def grams_list(text: str) -> str:
         # lower(NULL) is NULL, so tokens_sql's coalesce placement is
-        # equivalent — ONE tokenizer definition for all oracles
-        t = tokens_sql(f"lower({text})")
-        return (
-            f"list_distinct(case when len({t}) >= {n} then "
-            f"[array_to_string(({t})[i:i+{n - 1}], ' ') "
-            f"for i in range(1, len({t}) - {n} + 2)] else [] end)"
-        )
+        # equivalent — ONE tokenizer + ONE gram builder shared with every
+        # other oracle (drift between two gram spellings would silently
+        # break the exact-parity gate)
+        return f"list_distinct({ngrams_sql(tokens_sql(f'lower({text})'), n)})"
 
     return f"""
 with cg as (
@@ -102,7 +102,7 @@ with cg as (
 ), eg as (
   select distinct unnest({grams_list(eval_text)}) as gram from {eval_rel}
 )
-select cg.doc_id, count(distinct cg.gram) as n_eval_grams_hit
+select cg.doc_id, count(*) as n_eval_grams_hit
 from cg join eg on cg.gram = eg.gram
 group by cg.doc_id
 """
@@ -136,10 +136,16 @@ def decontaminated_corpus_sql(
     flagged = contaminated_docs_sql(
         corpus_rel, eval_rel, n, corpus_id, corpus_text, eval_text
     )
-    return (
-        f"select * from {corpus_rel} where {corpus_id} not in ("
-        f"select doc_id from ({flagged}))"
-    )
+    # NOT EXISTS, never NOT IN: a NULL id anywhere in the flagged list
+    # would make NOT IN evaluate to NULL for EVERY row (empty result),
+    # and NULL-id corpus rows must be KEPT like Spark's left-anti join
+    # keeps them — same adjudication as domains.py's twin
+    return f"""
+select * from {corpus_rel} c
+where not exists (
+  select 1 from ({flagged}) f where f.doc_id = c.{corpus_id}
+)
+"""
 
 
 def fuzzy_contaminated_docs(
@@ -163,7 +169,9 @@ def fuzzy_contaminated_docs(
     machinery (``operators/dedup.py``): the EVAL side's signatures and
     band hashes are tiny and BROADCAST; the corpus side computes
     signatures once (persisted — feeds the band join and the scoring
-    join; the returned frame owns the cache lifetime), its band rows
+    join; the CALLER owns the cache lifetime via the
+    ``._persisted_sigs`` handle on the returned frame, the
+    fingerprint-pairs contract), its band rows
     carry (doc_id, band, bh) only, and candidates from band collisions
     are verified by signature agreement >= ``threshold`` (est_jaccard),
     so a stray band collision cannot flag a clean document.  The corpus
@@ -186,10 +194,15 @@ def fuzzy_contaminated_docs(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # distinct BEFORE signatures: benchmark dumps repeat texts (same
+    # prompt, many targets) — duplicates would multiply the broadcast
+    # signature/band rows and fan out the verification join for no
+    # behavior change (the id IS the text hash, so distinct collapses
+    # exactly the duplicates)
     ev = eval_df.select(
         F.xxhash64(F.coalesce(F.col(eval_text), F.lit(""))).alias("_ev_id"),
         F.col(eval_text).alias("_ev_text"),
-    )
+    ).distinct()
     ev_sigs = minhash_signatures(ev, "_ev_id", "_ev_text", k, num_hashes)
     ev_bands = band_rows(ev_sigs, num_hashes, bands).withColumnRenamed(
         "doc_id", "_ev_id"
@@ -212,7 +225,7 @@ def fuzzy_contaminated_docs(
     # the candidate list is contamination-sized (small); broadcasting it
     # keeps the corpus-wide signature frame OUT of any shuffle — the
     # verification join is a broadcast probe over c_sigs' map output
-    return (
+    out = (
         c_sigs.join(F.broadcast(cand), on="doc_id")
         .join(
             F.broadcast(
@@ -230,6 +243,11 @@ def fuzzy_contaminated_docs(
         .groupBy("doc_id")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+    # caller owns the cache lifetime (same contract as
+    # textstats.fingerprint_duplicate_pairs): unpersist after the result
+    # is materialized via `result._persisted_sigs.unpersist()`
+    out._persisted_sigs = c_sigs
+    return out
 
 
 def fuzzy_decontaminated_corpus(
@@ -245,9 +263,13 @@ def fuzzy_decontaminated_corpus(
 ) -> DataFrame:
     """The corpus minus fuzzy-contaminated documents — flagged ids are
     few, broadcast anti join, corpus never shuffles (the
-    deduplicated_corpus plan shape)."""
-    flagged = fuzzy_contaminated_docs(
+    deduplicated_corpus plan shape).  The signature cache handle rides
+    through as ``._persisted_sigs`` (unpersist once materialized)."""
+    scored = fuzzy_contaminated_docs(
         corpus, eval_df, threshold, k, num_hashes, bands,
         corpus_id, corpus_text, eval_text,
-    ).select(F.col("doc_id").alias(corpus_id))
-    return corpus.join(F.broadcast(flagged), on=corpus_id, how="left_anti")
+    )
+    flagged = scored.select(F.col("doc_id").alias(corpus_id))
+    out = corpus.join(F.broadcast(flagged), on=corpus_id, how="left_anti")
+    out._persisted_sigs = scored._persisted_sigs
+    return out
