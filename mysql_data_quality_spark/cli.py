@@ -216,6 +216,18 @@ def cmd_filter(args) -> int:
     from mysql_data_quality_spark.reports import write_unified_report
     from mysql_data_quality_spark.rules.heuristics import profile_rules
 
+    fuzzy_thr = getattr(args, "decontaminate_fuzzy", None)
+    if fuzzy_thr is not None and not getattr(args, "decontaminate", None):
+        # a data-hygiene flag must never be a silent no-op: the fuzzy
+        # pass needs the eval-set path that --decontaminate carries.
+        # Checked BEFORE any Spark work so the user sees the flag error,
+        # not a downstream read failure.
+        print(
+            "error: --decontaminate-fuzzy requires --decontaminate "
+            "EVAL_PARQUET (the eval set the fuzzy pass matches against)",
+            file=sys.stderr,
+        )
+        return 2
     load_dotenv()
     # profile picks the base enable mask; DQS_RULE_* env still overrides
     # individual thresholds/enables on top of it
@@ -343,7 +355,6 @@ def cmd_filter(args) -> int:
                 corpus_id="url",
                 corpus_text="text",
             )
-            fuzzy_thr = getattr(args, "decontaminate_fuzzy", None)
             if fuzzy_thr is not None:
                 # fuzzy pass on top of the exact one: paraphrased eval
                 # leaks (a changed word breaks every 13-gram through it
@@ -440,7 +451,8 @@ def cmd_filter(args) -> int:
                 bool(hist_dir) and not post_pin
             )  # those stages localCheckpoint internally
             staged = any((
-                blfile, getattr(args, "extract_html", False), norm,
+                blfile, getattr(args, "drop_noindex", False),
+                getattr(args, "extract_html", False), norm,
                 getattr(args, "dedup_lines", False),
                 getattr(args, "dedup", False), hist_dir, post_pin,
             ))
@@ -465,10 +477,6 @@ def cmd_filter(args) -> int:
             group_size=args.group_size,
             files_per_bucket=args.files_per_bucket,
         )
-        if fuzzy_sigs is not None:
-            # write done: release the fuzzy-decontamination signature
-            # cache (caller-owned lifetime contract)
-            fuzzy_sigs.unpersist()
         if stats["input_scans"] > 0:  # observation fires with the write job
             res = QF.metrics_from_observation(obs.get, rules=rules)
             paths = write_unified_report(
@@ -498,6 +506,11 @@ def cmd_filter(args) -> int:
                 k=3, num_hashes=32, bands=8,
             )
             stats["near_history_dir"] = near_hist
+        if fuzzy_sigs is not None:
+            # all consumers done (write AND the history commits, which
+            # replay the composed lineage when no pin sits between): NOW
+            # release the fuzzy-decontamination signature cache
+            fuzzy_sigs.unpersist()
         print(json.dumps(stats))
         return 0
 
@@ -651,14 +664,16 @@ def cmd_corpus_stats(args) -> int:
             distinct.alias("distinct_texts"),
         ).collect()[0]
         n_docs = head["n_docs"]
+        # the HLL estimate can overshoot n_docs (~5% rsd) on a near-
+        # duplicate-free corpus; clamp so the approx path never reports
+        # distinct_texts > n_docs or a negative duplicate_fraction
+        distinct_texts = min(head["distinct_texts"], n_docs)
         report = {
             "n_docs": n_docs,
             "total_chars": head["total_chars"] or 0,
-            "distinct_texts": head["distinct_texts"],
+            "distinct_texts": distinct_texts,
             "duplicate_fraction": (
-                round(1.0 - head["distinct_texts"] / n_docs, 6)
-                if n_docs
-                else 0.0
+                round(1.0 - distinct_texts / n_docs, 6) if n_docs else 0.0
             ),
             "distinct_mode": "approx_hll" if args.approx else "exact",
             "token_length_histogram": {

@@ -72,6 +72,26 @@ def cnpj_valid_udf() -> Column:
 # as the mod-11 validators above: numpy batch math inside an Arrow UDF,
 # variable length 13-19 digits.
 # ---------------------------------------------------------------------------
+def luhn_ok(digits: str) -> bool:
+    """Scalar Luhn validity — THE canonical rule definition (13-19
+    digits, checksum, all-same-digit rejected).  The vectorized
+    :func:`luhn_valid_batch` reimplements it as column math for the UDF
+    hot path (parity-pinned by tests); the per-match card scrubber
+    (``rules/pii.py``) calls this directly so detection and scrubbing
+    can never drift."""
+    if not (13 <= len(digits) <= 19) or len(set(digits)) == 1:
+        return False
+    total = 0
+    for i, c in enumerate(reversed(digits)):
+        d = int(c)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
 def luhn_valid_batch(values: pd.Series) -> pd.Series:
     """True where the value (after stripping spaces/dashes/dots) is
     13-19 digits passing the Luhn checksum; all-same-digit rejected

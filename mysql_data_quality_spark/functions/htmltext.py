@@ -100,14 +100,27 @@ def extract_text_sql(html: str) -> str:
 # ---------------------------------------------------------------------------
 #: <meta ... name="robots" ... content="...noindex..."> in either
 #: attribute order, quotes optional — common subset of Java regex / RE2
-#: (no backreferences, so the two orders are spelled out)
+#: (no backreferences or lookaround, so the two orders are spelled out).
+#: The name value must be exactly `robots` (name="robotsmeta" is some
+#: OTHER meta tag) and `noindex` must be a comma/space-separated TOKEN of
+#: the content value (robots directives are comma-separated: 'noindexing'
+#: / 'noindex-demo' are not the noindex directive) — matching either as a
+#: mere substring deletes pages whose owner never opted out.
+_NOIDX_QVAL = r"[\"'](?:[^\"'>]*[\s,])?noindex(?:[\s,][^\"'>]*)?[\"']"
+_NOIDX_BARE = r"(?:[^\s>\"']*,)?noindex(?:,[^\s>\"']*)?"
+_ROBOTS_QVAL = r"[\"']\s*robots\s*[\"']"
 _NOINDEX_RE = (
     r"(?is)<meta\b(?:"
-    r"[^>]*\bname\s*=\s*[\"']?robots[\"']?[^>]*"
-    r"\bcontent\s*=\s*[\"']?[^\"'>]*noindex"
+    # name="robots" ... content="... noindex ..."
+    r"[^>]*[\s\"']name\s*=\s*"
+    r"(?:" + _ROBOTS_QVAL + r"[^>]*[\s\"']|robots\s(?:[^>]*[\s\"'])?)"
+    r"content\s*=\s*(?:" + _NOIDX_QVAL + r"|" + _NOIDX_BARE + r"[\s/>])"
     r"|"
-    r"[^>]*\bcontent\s*=\s*[\"']?[^\"'>]*noindex[^\"'>]*[\"']?[^>]*"
-    r"\bname\s*=\s*[\"']?robots[\"']?"
+    # content="... noindex ..." ... name="robots"
+    r"[^>]*[\s\"']content\s*=\s*"
+    r"(?:" + _NOIDX_QVAL + r"[^>]*[\s\"']|"
+    + _NOIDX_BARE + r"\s(?:[^>]*[\s\"'])?)"
+    r"name\s*=\s*(?:" + _ROBOTS_QVAL + r"|robots\s*/?>|robots\s)"
     r")"
 )
 

@@ -82,17 +82,22 @@ _DOMAIN_HOST_RE = (
 def url_host_col(url: Column) -> Column:
     """Registered host of an absolute URL (lowercased, port stripped,
     userinfo skipped, IPv6 literals kept whole) — the domain key for
-    per-site aggregation and skew salting.  '' for strings without a
-    scheme://host prefix."""
-    return F.lower(
-        F.regexp_extract(F.coalesce(url, F.lit("")), _DOMAIN_HOST_RE, 1)
-    )
+    per-site aggregation, skew salting, blocklists, and domain-level
+    admission.  '' for strings without a scheme://host prefix.
+
+    Trailing dots are stripped: ``example.com.`` (an absolute FQDN, the
+    DNS root label spelled out) names the SAME site as ``example.com``,
+    so without the strip a blocklisted or threshold-flagged domain could
+    be evaded — and its stats split across two keys — by a single
+    trailing dot in the URL."""
+    host = F.regexp_extract(F.coalesce(url, F.lit("")), _DOMAIN_HOST_RE, 1)
+    return F.lower(F.regexp_replace(host, r"\.+$", ""))
 
 
 def url_host_sql(url: str) -> str:
     # raw pattern embeds directly: no quotes inside, and DuckDB treats
     # backslashes in single-quoted strings literally (RE2 sees \[ \])
     return (
-        f"lower(coalesce(regexp_extract(coalesce({url}, ''), "
-        f"'{_DOMAIN_HOST_RE}', 1), ''))"
+        f"lower(regexp_replace(coalesce(regexp_extract(coalesce({url}, ''), "
+        f"'{_DOMAIN_HOST_RE}', 1), ''), '\\.+$', ''))"
     )

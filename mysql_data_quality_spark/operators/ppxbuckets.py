@@ -122,7 +122,12 @@ def perplexity_buckets_approx(
     bucket map); ``threshold_fraction < 1`` computes the thresholds on a
     deterministic hash sample of that fraction (what CCNet itself does),
     cutting the first pass's scan and score cost proportionally — at
-    10^12 docs even 1% is a 10^10-doc quantile estimate."""
+    10^12 docs even 1% is a 10^10-doc quantile estimate.
+
+    NULL-language documents bucket against their own group's cuts (null-
+    safe join), matching the exact path; a language entirely absent from
+    the threshold sample falls back to corpus-wide cuts rather than
+    collapsing to 'tail'."""
     if score_col is None:
         df = _default_score(df, text_col)
         score_col = "avg_logp"
@@ -135,17 +140,49 @@ def perplexity_buckets_approx(
         from mysql_data_quality_spark.operators.sampling import hash_sample
 
         cut_src = hash_sample(df, id_col, threshold_fraction)
-    cuts = cut_src.groupBy(lang_col).agg(
+    # ONE rollup pass yields the per-language cut rows AND a grand-total
+    # (corpus-wide) row, distinguished by grouping(): still map-side
+    # combinable, no extra scan.  The global row backstops languages the
+    # hash sample missed entirely (threshold_fraction < 1) — without it
+    # their docs would all fall to 'tail' regardless of score.
+    cuts_all = cut_src.rollup(lang_col).agg(
         F.percentile_approx(
             score_col, [1.0 / 3.0, 2.0 / 3.0], accuracy
-        ).alias("_ppx_cuts")
+        ).alias("_ppx_cuts"),
+        F.grouping(lang_col).alias("_ppx_g"),
     )
-    joined = df.join(F.broadcast(cuts), on=lang_col, how="left")
-    head_cut = F.element_at("_ppx_cuts", 2)  # the top third starts here
-    mid_cut = F.element_at("_ppx_cuts", 1)
+    # the per-lang and global splits below are TWO consumers — pin the
+    # (#langs + 1)-row result so the threshold scan over cut_src runs once
+    cuts_all = cuts_all.localCheckpoint()
+    per_lang = cuts_all.where(F.col("_ppx_g") == 0).select(
+        F.col(lang_col).alias("_ppx_lang"), "_ppx_cuts"
+    )
+    global_cuts = cuts_all.where(F.col("_ppx_g") == 1).select(
+        F.col("_ppx_cuts").alias("_ppx_cuts_g")
+    )
+    # eqNullSafe, not an equi-join: a NULL language is a real group (the
+    # langid-failed slice) with its own cut row — a plain `on=lang_col`
+    # would strand every NULL-lang doc on NULL cuts (⇒ 'tail'), diverging
+    # from the exact path, which ntiles the NULL partition like any other
+    joined = df.join(
+        F.broadcast(per_lang),
+        F.col(lang_col).eqNullSafe(F.col("_ppx_lang")),
+        "left",
+    ).drop("_ppx_lang")
+    # one-row broadcast nested-loop join: every doc sees the global cuts.
+    # LEFT on lit(True), not a cross join — an empty sample (tiny
+    # fraction × small corpus) must degrade to NULL cuts ('tail'), never
+    # wipe the output
+    joined = joined.join(F.broadcast(global_cuts), F.lit(True), "left")
+    cuts = F.coalesce(F.col("_ppx_cuts"), F.col("_ppx_cuts_g"))
+    head_cut = F.element_at(cuts, 2)  # the top third starts here
+    mid_cut = F.element_at(cuts, 1)
     bucket = (
         F.when(F.col(score_col) >= head_cut, F.lit("head"))
         .when(F.col(score_col) >= mid_cut, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return joined.withColumn("ppx_bucket", bucket).drop("_ppx_cuts")
+    return (
+        joined.withColumn("ppx_bucket", bucket)
+        .drop("_ppx_cuts", "_ppx_cuts_g")
+    )

@@ -83,20 +83,6 @@ def _sql_quote(regex: str) -> str:
 # documented slow path, opt-in like the ARPA scorer; no DuckDB twin
 # (pinned against hand vectors instead).
 # ---------------------------------------------------------------------------
-def _luhn_ok(digits: str) -> bool:
-    if not (13 <= len(digits) <= 19) or len(set(digits)) == 1:
-        return False
-    total = 0
-    for i, c in enumerate(reversed(digits)):
-        d = int(c)
-        if i % 2 == 1:
-            d *= 2
-            if d > 9:
-                d -= 9
-        total += d
-    return total % 10 == 0
-
-
 def scrub_credit_cards_udf() -> Column:
     """Arrow UDF: replace Luhn-valid 13-19 digit card candidates
     (optionally space/dash separated) with ``<CARD>``; checksum-invalid
@@ -106,12 +92,16 @@ def scrub_credit_cards_udf() -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # ONE Luhn rule definition for detection and scrubbing (the
+    # vectorized validator in checkdigits.py is parity-pinned to it)
+    from mysql_data_quality_spark.functions.checkdigits import luhn_ok
+
     pat = _re.compile(r"(?<!\d)(?:\d[ -]?){12,18}\d(?!\d)")
 
     def repl(m: "_re.Match") -> str:
         return (
             "<CARD>"
-            if _luhn_ok(_re.sub(r"\D", "", m.group(0)))
+            if luhn_ok(_re.sub(r"\D", "", m.group(0)))
             else m.group(0)
         )
 

@@ -21,6 +21,7 @@ CORPUS = [
     (None, "x"),
     ("https://a.b.c.d.e.f.g.h.i.j.evil.com/deep", "x"),  # 12 labels
     ("https://notexample.com/lookalike", "x"),  # suffix, not substring
+    ("http://evil.com./rooted", "x"),  # absolute FQDN (trailing dot)
 ]
 BL = [("example.com",), ("  Tracker.NET ",), ("",), ("evil.com",)]
 
@@ -55,6 +56,8 @@ class TestBlocklist:
         # suffix match is on dot boundaries, never substring
         assert "https://notexample.com/lookalike" not in flagged
         assert "https://good.org/fine" not in flagged
+        # r5 review: a trailing root-label dot must not evade the block
+        assert flagged["http://evil.com./rooted"] == "evil.com"
         kept = {r["url"] for r in B.blocklist_filtered_corpus(corpus, bl).collect()}
         assert kept == {
             "https://good.org/fine", "not a url at all",

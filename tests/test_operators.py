@@ -1340,6 +1340,10 @@ class TestUrlHost:
             (4, "https://plain.org/y"),
             (5, "no-scheme"),
             (6, None),
+            # r5 review: an absolute FQDN (trailing root-label dot) names
+            # the SAME site — without the strip it evades blocklists and
+            # splits per-domain stats across two keys
+            (7, "http://badsite.com./malware"),
         ]
         df = spark.createDataFrame(rows, "id: bigint, url: string")
         got = {
@@ -1350,7 +1354,7 @@ class TestUrlHost:
         }
         assert got == {
             1: "example.com", 2: "example.com", 3: "[2001:db8::1]",
-            4: "plain.org", 5: "", 6: "",
+            4: "plain.org", 5: "", 6: "", 7: "badsite.com",
         }
         duck.register("uh_t", pd.DataFrame(rows, columns=["id", "url"]))
         for i, h in duck.sql(

@@ -120,5 +120,59 @@ class TestPerplexityTertiles:
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
 
+    def test_approx_null_lang_buckets_by_its_own_cuts(self, spark):
+        """r5 review: NULL language is a real group (the langid-failed
+        slice) — its docs must bucket against their OWN cuts like the
+        exact path ntiles them, not collapse to 'tail' via an unmatched
+        equi-join."""
+        rows = [(i, None, float(i)) for i in range(1, 10)] + [
+            (i, "en", float(i - 10)) for i in range(11, 20)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id: bigint, lang: string, s: double"
+        )
+        ap = PB.perplexity_buckets_approx(df, score_col="s").toPandas()
+        nul = ap[ap["lang"].isna()].set_index("doc_id")["ppx_bucket"]
+        assert set(nul.unique()) == {"head", "middle", "tail"}
+        assert nul[9] == "head" and nul[1] == "tail"
+        # and the exact path agrees on the extremes
+        ex = PB.perplexity_tertiles(df, score_col="s").toPandas()
+        exn = ex[ex["lang"].isna()].set_index("doc_id")["ppx_bucket"]
+        assert exn[9] == "head" and exn[1] == "tail"
+
+    def test_approx_sampled_out_lang_falls_back_to_global_cuts(self, spark):
+        """r5 review: a language entirely missing from the threshold
+        sample must bucket against corpus-wide cuts, not land in 'tail'
+        regardless of score."""
+        from mysql_data_quality_spark.operators.sampling import hash_sample
+
+        base = spark.createDataFrame(
+            [(i, "en", float(i)) for i in range(1, 61)],
+            "doc_id: bigint, lang: string, s: double",
+        )
+        sampled = {
+            r["doc_id"]
+            for r in hash_sample(base, "doc_id", 0.5).collect()
+        }
+        excluded = sorted(set(range(1, 61)) - sampled)
+        assert excluded, "need at least one hash-excluded id"
+        # the rare language exists ONLY on ids the sample excludes; its
+        # one doc carries the corpus-max score -> global cuts say 'head'
+        rare_id = excluded[0]
+        rows = [
+            (i, ("zz" if i == rare_id else "en"),
+             (1000.0 if i == rare_id else float(i)))
+            for i in range(1, 61)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id: bigint, lang: string, s: double"
+        )
+        ap = PB.perplexity_buckets_approx(
+            df, score_col="s", threshold_fraction=0.5
+        ).toPandas()
+        assert (
+            ap.loc[ap["lang"] == "zz", "ppx_bucket"].iloc[0] == "head"
+        )
+
     def test_named_buckets_complete(self, spark):
         assert set(PB.BUCKET_NAMES.values()) == {"head", "middle", "tail"}

@@ -451,6 +451,20 @@ class TestFuzzyDecontamination:
         urls = {r["url"] for r in spark.read.parquet(f"{out}/data").collect()}
         assert urls == {"https://t.org/2"}
 
+    def test_cli_fuzzy_without_exact_errors(self, tmp_path, capsys):
+        """r5 review: --decontaminate-fuzzy without --decontaminate must
+        FAIL loudly (exit 2), never silently skip a hygiene stage the
+        user asked for."""
+        from mysql_data_quality_spark import cli
+
+        rc = cli.main([
+            "filter", "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--decontaminate-fuzzy", "0.5",
+        ])
+        assert rc == 2
+        assert "--decontaminate" in capsys.readouterr().err
+
 
 class TestNoindex:
     VECTORS = [
@@ -462,6 +476,14 @@ class TestNoindex:
         (6, b"plain page with the word noindex in prose"),
         (7, None),
         (8, b""),
+        # r5 review: name must be EXACTLY robots and noindex must be a
+        # comma/space-separated token, not a substring of either
+        (9, b'<meta name="robotsmeta" content="noindex-demo">'),
+        (10, b'<meta name="robots" content="noindexing">'),
+        (11, b"<meta content=noindex name=robots>"),
+        (12, b'<meta data-name="robots" content="noindex">'),
+        (13, b'<meta name="robots" content="nofollow,noindex"/>'),
+        (14, b'<meta name="googlebot" content="noindex">'),
     ]
 
     def _df(self, spark):
@@ -482,7 +504,9 @@ class TestNoindex:
             .collect()
         }
         assert got == {1: True, 2: True, 3: True, 4: False,
-                       5: False, 6: False, 7: False, 8: False}
+                       5: False, 6: False, 7: False, 8: False,
+                       9: False, 10: False, 11: True, 12: False,
+                       13: True, 14: False}
         con = duckdb.connect()
         con.register("v", pd.DataFrame({
             "doc_id": [d for d, _ in self.VECTORS],

@@ -112,6 +112,28 @@ class TestLuhnAndCardScrub:
         ).collect()
         assert [r["ok"] for r in rows] == got
 
+    def test_batch_scalar_parity(self):
+        """r5 review: the numpy batch validator and the canonical scalar
+        rule (which the card scrubber calls per match) must agree on a
+        digit-string sweep — one Luhn definition, two execution shapes."""
+        import random
+
+        import pandas as pd
+
+        from mysql_data_quality_spark.functions.checkdigits import (
+            luhn_ok,
+            luhn_valid_batch,
+        )
+
+        rng = random.Random(7)
+        sweep = [
+            "".join(rng.choice("0123456789") for _ in range(n))
+            for n in list(range(11, 22)) * 40
+        ] + ["4111111111111111", "0" * 16, "5500000000000004"]
+        got = luhn_valid_batch(pd.Series(sweep)).tolist()
+        assert got == [luhn_ok(s) for s in sweep]
+        assert any(got), "sweep should contain at least one valid PAN"
+
     def test_card_scrub_semantics(self, spark):
         from pyspark.sql import functions as F
 
