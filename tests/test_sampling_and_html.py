@@ -520,6 +520,61 @@ class TestNoindex:
         }
         assert dk == got
 
+    def test_semantic_enumeration_both_engines(self, spark):
+        """Exhaustive generated sweep of <meta> shapes (attribute order,
+        quoting incl. bare, '=' spacing, extra attributes, self-closing):
+        the flag must equal `name is exactly robots AND noindex is a
+        comma/space-separated directive token` — a dropped page is data
+        loss, so the contract is pinned on the full cross product."""
+        import re as _re
+
+        import duckdb
+        import pandas as pd
+
+        from mysql_data_quality_spark.functions import htmltext as H
+
+        names = ["robots", "ROBOTS", "robotsmeta", "googlebot"]
+        contents = ["noindex", "NOINDEX,nofollow", "nofollow,noindex",
+                    "index,follow", "noindexing", "demo-noindex", "nofollow"]
+        quotes = ['"', "'", ""]  # values above are single-token: bare ok
+
+        def expected(nm, ct):
+            toks = [t for t in _re.split(r"[\s,]+", ct.lower()) if t]
+            return nm.lower() == "robots" and "noindex" in toks
+
+        vecs = []
+        for nm in names:
+            for ct in contents:
+                for qn in quotes:
+                    for qc in quotes:
+                        for eq in ("=", " = "):
+                            for extra in ("", ' data-x="1"'):
+                                for end in (">", "/>"):
+                                    a = f"name{eq}{qn}{nm}{qn}"
+                                    b = f"content{eq}{qc}{ct}{qc}"
+                                    for attrs in (f"{a} {b}", f"{b} {a}"):
+                                        vecs.append((
+                                            f"<meta {attrs}{extra}{end}",
+                                            expected(nm, ct),
+                                        ))
+        pdf = pd.DataFrame(vecs, columns=["tag", "want"])
+        pdf["html"] = pdf["tag"].str.encode("utf-8")
+        got = (
+            spark.createDataFrame(pdf[["tag", "html"]])
+            .select("tag", H.html_noindex_col(F.col("html")).alias("f"))
+            .toPandas()
+        )
+        merged = pdf.merge(got, on="tag")
+        bad = merged[merged["want"] != merged["f"]]
+        assert bad.empty, bad.head(10).to_dict("records")
+        con = duckdb.connect()
+        con.register("nv", pdf[["tag", "html", "want"]])
+        n_bad = con.sql(
+            f"select count(*) from nv where "
+            f"{H.html_noindex_sql('html')} <> want"
+        ).fetchone()[0]
+        assert n_bad == 0
+
     def test_cli_drop_noindex(self, spark, tmp_path, monkeypatch):
         from mysql_data_quality_spark import cli
 
