@@ -965,10 +965,14 @@ def _dedup_corpus_docs(spark, sf_dir):
 def _dedup_corpus_docs_sql() -> str:
     pairs = dedup.shingle_jaccard_pairs_sql("documents", k=3, threshold=0.6)
     clusters = dedup.duplicate_clusters_sql(pairs)
+    # NOT EXISTS, not NOT IN: the loser list can't carry NULLs on this
+    # corpus, but NOT IN would blank the whole result if it ever did —
+    # same null-semantics convention as decontaminated_corpus_sql
     return f"""
-select doc_id from documents
-where doc_id not in (
-  select doc_id from ({clusters}) where doc_id != cluster_id
+select doc_id from documents d
+where not exists (
+  select 1 from ({clusters}) c
+  where c.doc_id != c.cluster_id and c.doc_id = d.doc_id
 )
 """
 
@@ -1119,10 +1123,12 @@ def _qf_dedup_near_pipeline_sql() -> str:
         "pages", id_col="url", k=3, threshold=0.6
     )
     clusters = dedup.duplicate_clusters_sql(pairs)
+    # NOT EXISTS for the same null-semantics convention as above
     return (
         _PAGES_CTE
-        + ", corpus as (select * from pages where url not in ("
-        + f"select doc_id from ({clusters}) where doc_id != cluster_id)) "
+        + ", corpus as (select * from pages p where not exists ("
+        + f"select 1 from ({clusters}) c "
+        + "where c.doc_id != c.cluster_id and c.doc_id = p.url)) "
         + QF.decisions_sql("corpus")
     )
 

@@ -295,6 +295,7 @@ def cmd_filter(args) -> int:
         near = getattr(args, "dedup_near", None)
         near_hist = getattr(args, "near_history", None)
         fuzzy_sigs = None
+        fp_prints = None
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -321,6 +322,14 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
             )
+            # the PINNED probe result is what commit_history records
+            # after the write — capture it before later stages (decon/
+            # near/domain) reassign `pages`: history means "seen and
+            # decided", so a doc those stages drop must still commit
+            # (a byte-identical re-delivery next run would otherwise be
+            # re-judged and could ship as a duplicate), and the commit
+            # must read cached blocks, not re-run the stage lineage
+            hist_probe = pages
         if getattr(args, "dedup_paragraph", False):
             # CCNet-style paragraph-level dedup: boilerplate paragraphs
             # (nav chrome, cookie banners) that repeat across otherwise
@@ -408,6 +417,10 @@ def cmd_filter(args) -> int:
                     pages, "url", "text", k=8, w=8,
                     min_shared=args.near_min_shared,
                 )
+                # caller-owned cache lifetime (same contract as the
+                # fuzzy-decontamination signatures): released after the
+                # write + history commits below
+                fp_prints = pairs._persisted_prints
                 pages = deduplicated_corpus(pages, pairs, "url")
         if near_hist:
             # cross-RUN fuzzy dedup (CCNet/RefinedWeb across crawl
@@ -426,6 +439,9 @@ def cmd_filter(args) -> int:
                 threshold=args.near_threshold,
                 update_history=False,
             )
+            # same capture as hist_probe: commit the pinned near-probe
+            # survivors, not the post-domain-threshold frame
+            near_probe = pages
         dom_thr = getattr(args, "domain_threshold", None)
         if dom_thr is not None:
             # whole-SITE admission (RefinedWeb "bad neighborhood" stage):
@@ -492,7 +508,7 @@ def cmd_filter(args) -> int:
                 commit_history,
             )
 
-            commit_history(pages, hist_dir)
+            commit_history(hist_probe, hist_dir)
             stats["history_dir"] = hist_dir
         if near_hist:
             # write committed: record this run's band hashes (recomputed
@@ -502,7 +518,7 @@ def cmd_filter(args) -> int:
             )
 
             commit_near_history(
-                pages, "url", "text", near_hist,
+                near_probe, "url", "text", near_hist,
                 k=3, num_hashes=32, bands=8,
             )
             stats["near_history_dir"] = near_hist
@@ -511,6 +527,10 @@ def cmd_filter(args) -> int:
             # replay the composed lineage when no pin sits between): NOW
             # release the fuzzy-decontamination signature cache
             fuzzy_sigs.unpersist()
+        if fp_prints is not None:
+            # likewise for the winnowing fingerprint frame behind
+            # --dedup-near fingerprint
+            fp_prints.unpersist()
         print(json.dumps(stats))
         return 0
 

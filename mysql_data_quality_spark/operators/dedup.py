@@ -333,18 +333,24 @@ def minhash_signatures(
     return sh.select("doc_id", sig.alias("sig"))
 
 
-def band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_rows(
+    sigs: DataFrame, num_hashes: int, bands: int, band_hash=None
+) -> DataFrame:
     """(doc_id, band, bh) — one row per LSH band of each signature;
-    bh = xxhash64 of the band's comma-joined signature rows.  The
-    exchange unit for every banded-LSH consumer (pair join, history
-    probe): 12 B of key + the id, never the signature array."""
+    bh = ``band_hash`` (default xxhash64) of the band's comma-joined
+    signature rows.  The exchange unit for every banded-LSH consumer
+    (pair join, history probe): 12 B of key + the id, never the
+    signature array.  ``band_hash`` exists so the md5 oracle variant
+    shares THIS banding code instead of forking it (one algorithm, two
+    hash families)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    band_hash = band_hash or F.xxhash64
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                band_hash(
                     F.concat_ws(
                         ",",
                         *[
@@ -359,6 +365,55 @@ def band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
     return sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def _pairs_from_banded(
+    sigs: DataFrame,
+    banded: DataFrame,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared LSH tail: band-collision candidates (ids only on the
+    exchange), deduped, signatures joined back per side, scored by
+    fraction of agreeing signature rows (the Jaccard estimate).  ONE
+    implementation for the production (xxhash64) and oracle (md5)
+    variants — a fix here is a fix in both."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            on="doc_b",
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 
@@ -403,42 +458,7 @@ def minhash_lsh_pairs(
 
             sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = band_rows(sigs, num_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bh"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-            ),
-            on="doc_a",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-            ),
-            on="doc_b",
-        )
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        cand.withColumn(
-            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _pairs_from_banded(sigs, banded, num_hashes, threshold)
 
 
 def minhash_lsh_pairs_md5(
@@ -459,11 +479,13 @@ def minhash_lsh_pairs_md5(
     Signature: sig[i] = min over shingles of (a_i * (md5_60(shingle) %
     2^30) + b_i) mod (2^31-1), fixed (a_i, b_i) from a seeded driver-side
     RNG (embedded as literals in BOTH engines' plans).  Band key =
-    md5_60 of the comma-joined band rows.  Pairs score by signature
-    agreement, like the production operator.
+    md5_60 of the comma-joined band rows.  Banding and pair scoring are
+    the SHARED implementation (:func:`band_rows` with the md5 band hash
+    + :func:`_pairs_from_banded`) — only the hash family differs from
+    production, so the oracle gate really does exercise the production
+    algorithm.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     params = _mh_params(num_hashes)
     sh = _shingles(df, id_col, text_col, k)
     base = F.transform(
@@ -484,62 +506,8 @@ def minhash_lsh_pairs_md5(
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_int60_col(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * rows + r].cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bh"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-            ),
-            on="doc_a",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-            ),
-            on="doc_b",
-        )
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        cand.withColumn(
-            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    banded = band_rows(sigs, num_hashes, bands, band_hash=md5_int60_col)
+    return _pairs_from_banded(sigs, banded, num_hashes, threshold)
 
 
 def minhash_lsh_pairs_md5_sql(
@@ -1052,7 +1020,9 @@ where k._rn = 1
 """
 
 
-def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
+def _fold_legacy_layout(
+    spark: SparkSession, history_dir: str, for_write: bool = True
+) -> bool:
     """Fold a pre-``run=<id>`` FLAT history layout (root-level parquet
     part files) into one ``run=legacy-<id>`` partition directory.
 
@@ -1073,11 +1043,24 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
     fold is RESUMED here, never discarded: any leftover
     ``_tmp-legacy-*`` dir is promoted to its ``run=legacy-*`` name
     first (completing the crashed fold's rename), and remaining root
-    files fold into a fresh legacy run.  This runs before every history
-    read AND at the top of ``compact_history``, so the cleanup paths
-    that delete ``_tmp-*`` staging can never see (and destroy) folded
-    committed history — hashes split across legacy runs are equivalent
-    to the anti-join probe.
+    files fold into a fresh legacy run.  This runs at the top of
+    ``compact_history`` and before every history WRITE, so the cleanup
+    paths that delete ``_tmp-*`` staging can never see (and destroy)
+    folded committed history — hashes split across legacy runs are
+    equivalent to the anti-join probe.
+
+    ``for_write=False`` (probe-only callers, r5 second-pass review)
+    folds ONLY when the layout is already MIXED (root files shadowed by
+    ``run=`` dirs — reading as-is would silently lose the root rows): a
+    PURE flat layout reads correctly without partition discovery, so a
+    read-only history mount keeps working, and shadowing can only arise
+    from a write, which folds first.  Crashed-fold staging is always
+    resumed — those rows are committed data hidden from readers, so
+    skipping the resume would lose them (a read-only mount holding a
+    crashed fold is unreadable-correctly either way; raising beats
+    silently dropping the staged rows).  Single-migrator assumption, as
+    documented for ``compact_history``: don't race two jobs' first
+    contact with one legacy dir.
 
     Returns True if anything was folded/resumed."""
     import uuid
@@ -1088,8 +1071,11 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
     if not fs.exists(hpath(history_dir)):
         return False
     resumed = False
+    have_run_dirs = False
     for status in fs.listStatus(hpath(history_dir)):
         name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("run="):
+            have_run_dirs = True
         if status.isDirectory() and name.startswith("_tmp-legacy-"):
             # crashed fold: its contents are committed flat-layout data —
             # complete the rename it never got to
@@ -1099,13 +1085,14 @@ def _fold_legacy_layout(spark: SparkSession, history_dir: str) -> bool:
                     f"legacy-history fold resume: rename failed for {name}"
                 )
             resumed = True
+            have_run_dirs = True
     legacy_files = [
         status.getPath()
         for status in fs.listStatus(hpath(history_dir))
         if status.isFile()
         and not status.getPath().getName().startswith(("_", "."))
     ]
-    if not legacy_files:
+    if not legacy_files or (not for_write and not have_run_dirs):
         return resumed
     fold_id = f"legacy-{uuid.uuid4().hex[:12]}"
     staging = hpath(f"{history_dir}/_tmp-{fold_id}")
@@ -1221,8 +1208,9 @@ def dedup_against_history(
     if pin not in ("localCheckpoint", "disk"):
         raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
     # a pre-partitioned-layout (flat) history would be silently shadowed
-    # by partition discovery once run= dirs exist — fold it first
-    _fold_legacy_layout(spark, history_dir)
+    # by partition discovery once run= dirs exist — fold it first when
+    # writing (or when already mixed); pure-flat probes read as-is
+    _fold_legacy_layout(spark, history_dir, for_write=update_history)
     try:
         hist = spark.read.parquet(history_dir).select("text_md5")
         have_history = True
@@ -1261,6 +1249,12 @@ def commit_history(fresh_hashes: DataFrame, history_dir: str) -> None:
     a batch's surviving ``text_md5`` column to the history as one
     crash-atomic ``run=<id>`` directory (see :func:`_commit_history_run`).
     Call this AFTER your sink's own commit point."""
+    # the probe-only pass skips the legacy fold on pure-flat layouts
+    # (read-only-safe); this append CREATES run= dirs, so fold here or
+    # the flat rows would be shadowed from the next probe on
+    _fold_legacy_layout(
+        fresh_hashes.sparkSession, history_dir, for_write=True
+    )
     _commit_history_run(fresh_hashes.select("text_md5"), history_dir)
 
 
@@ -1387,7 +1381,7 @@ def near_dedup_against_history(
     )
     batch = deduplicated_corpus(df, pairs, id_col)
     banded = band_rows(sigs, num_hashes, bands)
-    _fold_legacy_layout(spark, history_dir)
+    _fold_legacy_layout(spark, history_dir, for_write=update_history)
     try:
         hist = spark.read.parquet(history_dir).select("band", "bh")
         have_history = True
@@ -1447,6 +1441,7 @@ def commit_near_history(
     the input frame is pinned.  Call AFTER your sink's commit point."""
     spark = fresh.sparkSession
     _check_near_history_params(spark, history_dir, k, num_hashes, bands)
+    _fold_legacy_layout(spark, history_dir, for_write=True)
     bands_df = band_rows(
         minhash_signatures(fresh, id_col, text_col, k, num_hashes),
         num_hashes, bands,

@@ -365,7 +365,7 @@ def _kenlm_avg_logprob(km, m: "ArpaModel", text: Optional[str]) -> float:
 
 
 def _score_texts(
-    m: ArpaModel, texts: "pd.Series", use_kenlm: bool
+    m: ArpaModel, texts: "pd.Series", use_kenlm: bool, strict: bool = False
 ) -> "pd.Series":
     """One Arrow batch through the best available scorer.  The kenlm
     fast path is taken only when ALL of: the caller allows it, the model
@@ -374,7 +374,13 @@ def _score_texts(
     folded table would score folded query tokens as <unk> against it —
     materially divergent, not last-ulp), and the bindings import + the
     file loads ON THIS PROCESS — every other case falls back to the
-    pure-Python backoff scorer."""
+    pure-Python backoff scorer.
+
+    ``strict=True`` (set by the UDF when the DRIVER resolved the kenlm
+    path) turns that fallback into an error: one job must score every
+    partition with ONE scorer, or keep/drop decisions near the threshold
+    become a function of which node processed the doc — and a task retry
+    on another node could flip them (r5 second-pass review)."""
     if (
         use_kenlm
         and m.source_path is not None
@@ -385,6 +391,13 @@ def _score_texts(
             return pd.Series(
                 [_kenlm_avg_logprob(km, m, t) for t in texts],
                 dtype="float64",
+            )
+        if strict:
+            raise RuntimeError(
+                "kenlm was selected on the driver but is unavailable on "
+                f"this executor (path {m.source_path!r}): install the "
+                "bindings + model file on every node, or pass "
+                "use_kenlm=False for the uniform pure-Python scorer"
             )
     return pd.Series([m.avg_logprob(t) for t in texts], dtype="float64")
 
@@ -402,17 +415,31 @@ def avg_logprob_pandas_udf(
     known, no lowercase case-folding divergence, bindings import AND the
     file loads on the executor) — otherwise the pure-Python backoff
     scorer runs (the only option in this sandbox; see the module
-    docstring for the cost honesty note).  The decision is made once per
-    executor process and the loaded model (or load failure) is cached
-    per path.
+    docstring for the cost honesty note).  The scorer choice is resolved
+    ONCE on the DRIVER and shipped in the closure, so one job scores
+    every partition with one scorer: executors where the driver-selected
+    kenlm path can't load raise loudly instead of silently falling back
+    (mixed scorers would make threshold-adjacent keep/drop decisions
+    depend on task placement and flip under retries).  The loaded model
+    (or load failure) is cached per process+path.
 
     The broadcast is cached on the model instance per SparkContext, so
     repeated ``annotate(lm=model)`` calls in one session reuse ONE
     broadcast instead of leaking one per call; the closure carries only
     the broadcast handle, never the model itself."""
 
+    # driver-side resolution: the SAME gates _score_texts applies, plus a
+    # local load probe — the boolean (not the probe result) rides the
+    # closure, and strict mode holds executors to the driver's choice
+    kenlm_resolved = bool(
+        use_kenlm
+        and model.source_path is not None
+        and not (model.lowercase and model.case_folded)
+        and _load_kenlm(model.source_path) is not None
+    )
+
     def score_batch(m: ArpaModel, texts: pd.Series) -> pd.Series:
-        return _score_texts(m, texts, use_kenlm)
+        return _score_texts(m, texts, kenlm_resolved, strict=kenlm_resolved)
 
     if sc is not None:
         cached = getattr(model, "_bc_cache", None)

@@ -376,3 +376,50 @@ class TestKenlmFastPath:
         finally:
             del sys.modules["kenlm"]
             arpa._KENLM_CACHE.clear()
+
+    def test_strict_mode_raises_instead_of_diverging(self, tmp_path):
+        """r5 second-pass review: when the DRIVER resolved the kenlm
+        scorer, an executor that can't load it must RAISE — a silent
+        pure-Python fallback would score partitions with two different
+        scorers in one job, flipping threshold-adjacent keep/drop
+        decisions with task placement (and under retries)."""
+        import sys
+
+        import pandas as pd
+        import pytest
+
+        class _Boom:
+            def __init__(self, path):
+                raise OSError("no such model file on this node")
+
+        fake = type(sys)("kenlm")
+        fake.Model = _Boom
+        sys.modules["kenlm"] = fake
+        try:
+            arpa._KENLM_CACHE.clear()
+            p = tmp_path / "m.arpa"
+            p.write_text(TINY_ARPA)
+            m = arpa.parse_arpa_file(str(p))
+            with pytest.raises(RuntimeError, match="selected on the driver"):
+                arpa._score_texts(
+                    m, pd.Series(["the cat"]), True, strict=True
+                )
+            # non-strict (no driver resolution) still falls back quietly
+            got = arpa._score_texts(m, pd.Series(["the cat"]), True)
+            assert got[0] == m.avg_logprob("the cat")
+        finally:
+            del sys.modules["kenlm"]
+            arpa._KENLM_CACHE.clear()
+
+    def test_udf_resolution_is_pure_python_without_kenlm(self, tmp_path):
+        """Driver-side resolution in the sandbox (no kenlm): the UDF
+        closure must carry kenlm_resolved=False, so executors score
+        pure-Python even if kenlm were to appear there later — one
+        scorer per job, chosen once."""
+        p = tmp_path / "m.arpa"
+        p.write_text(TINY_ARPA)
+        m = arpa.parse_arpa_file(str(p))
+        # building the UDF probes kenlm on the driver and must succeed
+        # (and resolve to the pure path) when the bindings are absent
+        assert arpa._load_kenlm(str(p)) is None
+        arpa.avg_logprob_pandas_udf(m)

@@ -667,6 +667,81 @@ class TestCliFilterHistory:
 
         assert len(list(pathlib.Path(hist).glob("run=*"))) == 1
 
+    def test_history_commits_probe_survivors_not_stage_survivors(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """r5 second-pass review: history means "seen and decided" — a
+        doc a LATER stage drops (here: decontamination) must still
+        commit its hash, so a byte-identical re-delivery next run is
+        dropped by the probe instead of being re-judged (and, without
+        the eval set on run 2, shipped as a duplicate)."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.operators.dedup import (
+            normalized_text_col,
+        )
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        batch = P.read_pages(spark, SF_SMOKE).orderBy("url").limit(20)
+        hist = str(tmp_path / "hist")
+        in1 = str(tmp_path / "in1")
+        batch.write.parquet(in1)
+        # eval set = the longest batch doc's text -> decontamination
+        # drops it (and any doc sharing a 13-gram with it)
+        target = (
+            batch.orderBy(F.length("text").desc(), "url").limit(1)
+            .select("url", "text")
+            .collect()[0]
+        )
+        ev = str(tmp_path / "eval")
+        spark.createDataFrame(
+            [(target["text"],)], "text: string"
+        ).write.parquet(ev)
+        rc = cli.main(
+            ["filter", "--input", in1, "--output", str(tmp_path / "o1"),
+             "--buckets", "2", "--dedup-history", hist,
+             "--decontaminate", ev]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        # the decontaminated doc never shipped...
+        out1 = spark.read.parquet(str(tmp_path / "o1") + "/data")
+        assert out1.where(F.col("url") == target["url"]).count() == 0
+        # ...but its hash IS in the history (probe-survivor commit)
+        want_md5 = spark.createDataFrame(
+            [(target["text"],)], "text: string"
+        ).select(F.md5(normalized_text_col(F.col("text"))).alias("h")) \
+            .collect()[0]["h"]
+        hashes = {
+            r["text_md5"]
+            for r in spark.read.parquet(hist).select("text_md5").collect()
+        }
+        assert want_md5 in hashes
+        # run 2: the same text re-served (mangled url), NO eval set this
+        # time — the probe alone must drop it
+        in2 = str(tmp_path / "in2")
+        batch.where(F.col("url") == target["url"]).withColumn(
+            "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+        ).write.parquet(in2)
+        rc = cli.main(
+            ["filter", "--input", in2, "--output", str(tmp_path / "o2"),
+             "--buckets", "2", "--dedup-history", hist]
+        )
+        assert rc == 0
+        # zero survivors: the sink may write no data files at all (no
+        # schema to infer) or empty-but-typed buckets — both mean 0 rows
+        import pathlib
+
+        data2 = pathlib.Path(str(tmp_path / "o2")) / "data"
+        files = (
+            list(data2.rglob("*.parquet")) if data2.exists() else []
+        )
+        if files:
+            assert spark.read.parquet(str(data2)).count() == 0
+
 
 class TestCliStreamMetrics:
     def test_stream_metrics_e2e(self, spark, tmp_path, monkeypatch, capsys):

@@ -1040,6 +1040,52 @@ class TestHistoryDedup:
         )
         assert got == [2]  # gamma recovered from the crashed fold
 
+    def test_probe_only_leaves_pure_flat_layout_untouched(
+        self, spark, tmp_path
+    ):
+        """r5 second-pass review: a probe-only call (update_history=False)
+        on a PURE flat layout must read it as-is — no renames, so a
+        read-only history mount keeps working — while the deferred
+        commit_history (a write, which CREATES the shadowing run= dirs)
+        folds first so the flat rows stay visible to the next probe."""
+        import pathlib
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        hist = tmp_path / "hist"
+        tmp_write = tmp_path / "flatsrc"
+        spark.createDataFrame([("alpha",), ("beta",)], "text: string") \
+            .select(
+                F.md5(dedup.normalized_text_col(F.col("text"))).alias(
+                    "text_md5"
+                )
+            ).coalesce(1).write.parquet(str(tmp_write))
+        hist.mkdir()
+        for f in pathlib.Path(tmp_write).glob("*.parquet"):
+            shutil.move(str(f), str(hist / f.name))
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "new text")], "doc_id: bigint, text: string"
+        )
+        probed = dedup.dedup_against_history(
+            df, "doc_id", "text", str(hist),
+            update_history=False, keep_hash_col=True,
+        )
+        assert sorted(r["doc_id"] for r in probed.collect()) == [2]
+        # probe did NOT rewrite the read-only-safe flat layout
+        assert not list(pathlib.Path(hist).glob("run=*"))
+        assert any(
+            p.is_file() and not p.name.startswith(("_", "."))
+            for p in hist.iterdir()
+        )
+        # the deferred commit folds, then appends — nothing shadowed
+        dedup.commit_history(probed.select("text_md5"), str(hist))
+        names = sorted(p.name for p in hist.iterdir())
+        assert any(n.startswith("run=legacy-") for n in names)
+        assert spark.read.parquet(str(hist)) \
+            .select("text_md5").distinct().count() == 3
+
     def test_corrupted_history_propagates(self, spark, tmp_path):
         """A history dir that exists but cannot be read must RAISE, not
         silently bootstrap (which would re-emit the whole batch as
