@@ -308,7 +308,11 @@ def cmd_filter(args) -> int:
                 dedup_exact_corpus,
             )
 
-            pages = dedup_exact_corpus(pages, "url", "text")
+            keep = getattr(args, "dedup_keep", "min_id") or "min_id"
+            pages = dedup_exact_corpus(
+                pages, "url", "text", keep=keep,
+                ts_col="warc_ts" if keep == "newest" else None,
+            )
         if hist_dir:
             # cross-RUN incremental dedup: probe the hash history now,
             # commit this run's hashes only AFTER the checkpointed write
@@ -839,8 +843,16 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument(
         "--dedup",
         action="store_true",
-        help="exact-dedup the corpus (keep smallest url per normalized "
-        "text) before filtering",
+        help="exact-dedup the corpus (one doc per normalized text, "
+        "representative per --dedup-keep) before filtering",
+    )
+    f.add_argument(
+        "--dedup-keep",
+        choices=["min_id", "longest", "newest"],
+        default="min_id",
+        help="with --dedup: which duplicate wins — smallest url "
+        "(min_id), longest raw text, or latest warc_ts (newest; the "
+        "re-crawl policy)",
     )
     f.add_argument(
         "--files-per-bucket",

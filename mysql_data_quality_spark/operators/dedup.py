@@ -893,6 +893,7 @@ def dedup_exact_corpus(
     normalize: bool = True,
     keep: str = "min_id",
     broadcast_losers: bool = True,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Keep ONE document per exact-duplicate text group — the dedup stage
     of the end-to-end corpus pipeline (``cli.py filter --dedup``).
@@ -912,6 +913,13 @@ def dedup_exact_corpus(
         keep the fullest copy).  Implemented as a ``max_by``-style
         aggregate over a (length, id-inverted) struct — still one
         aggregation on the projection, no window over the corpus.
+      * ``"newest"`` — latest ``ts_col`` (required: a timestamp column,
+        e.g. the crawl's ``warc_ts``), id then raw hash as tie-breaks:
+        the re-crawl policy — CommonCrawl re-serves unchanged pages
+        across snapshots, and the freshest capture carries the current
+        metadata.  NULL timestamps rank OLDEST (a capture without a
+        date never beats a dated one).  Same one-aggregate plan shape
+        (microseconds inverted into the struct min).
 
     Plan shape: the winner list is computed on the (id, md5[, len])
     PROJECTION — the corpus text never rides a shuffle — then the losers
@@ -921,8 +929,12 @@ def dedup_exact_corpus(
     loser list outgrows broadcast, write it to a table and use a shuffle
     anti join on the id column instead).  Mirrored in SQL by
     :func:`dedup_exact_corpus_sql`."""
-    if keep not in ("min_id", "longest"):
-        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
+    if keep not in ("min_id", "longest", "newest"):
+        raise ValueError(
+            f"keep must be 'min_id', 'longest' or 'newest', got {keep!r}"
+        )
+    if keep == "newest" and ts_col is None:
+        raise ValueError("keep='newest' requires ts_col")
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
     # _rh (raw-text md5) is the anti-join discriminator: cheaper to
@@ -946,6 +958,22 @@ def dedup_exact_corpus(
         )
         winners = hashed.groupBy("_h").agg(
             F.min(F.struct("_id", "_rh")).alias("_w")
+        )
+    elif keep == "newest":
+        # microseconds inverted so struct MIN picks the max timestamp;
+        # NULL ts coalesces to the minimum epoch (ranks oldest) — a
+        # NULL inside the struct would otherwise sort FIRST and win
+        nts = -F.coalesce(
+            F.unix_micros(F.col(ts_col)), F.lit(-(2**62))
+        )
+        hashed = df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(norm).alias("_h"),
+            raw_h.alias("_rh"),
+            nts.alias("_nts"),
+        )
+        winners = hashed.groupBy("_h").agg(
+            F.min(F.struct("_nts", "_id", "_rh")).alias("_w")
         )
     else:
         hashed = df.select(
@@ -992,17 +1020,28 @@ def dedup_exact_corpus(
 
 
 def dedup_exact_corpus_sql(
-    rel: str, id_col: str = "url", text_col: str = "text", keep: str = "min_id"
+    rel: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    keep: str = "min_id",
+    ts_col: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`dedup_exact_corpus`: same md5-of-normalized
     -text grouping, representative per ``keep`` policy — raw-text md5 as
     the final tie-break, matching the Spark side's row-exact winner."""
     raw = f"md5(coalesce({text_col}, ''))"
-    order = (
-        f"order by {id_col}, {raw}"
-        if keep == "min_id"
-        else f"order by length(coalesce({text_col}, '')) desc, {id_col}, {raw}"
-    )
+    if keep == "min_id":
+        order = f"order by {id_col}, {raw}"
+    elif keep == "newest":
+        # epoch_us mirrors Spark's unix_micros; NULL ts ranks oldest
+        order = (
+            f"order by coalesce(epoch_us({ts_col}), {-(2**62)}) desc, "
+            f"{id_col}, {raw}"
+        )
+    else:
+        order = (
+            f"order by length(coalesce({text_col}, '')) desc, {id_col}, {raw}"
+        )
     # the winner join is keyed (id, raw md5) like the Spark anti join —
     # `using (id)` alone would re-attach the id's other rows in a
     # duplicate-id corpus

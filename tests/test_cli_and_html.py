@@ -400,6 +400,36 @@ class TestCliFilter:
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and stats["written"] == 0 and stats["skipped"] == 4
 
+    def test_filter_dedup_keep_newest(self, spark, tmp_path, monkeypatch):
+        """--dedup-keep newest: of two byte-identical captures the later
+        warc_ts survives, even though the mirror url sorts AFTER the
+        original (min_id would keep the original)."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        pages = P.read_pages(spark, SF_SMOKE)
+        old = pages.orderBy("url").limit(10)
+        newer = old.withColumn(
+            "url", F.concat(F.lit("https://zmirror.example/"), F.col("url"))
+        ).withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 5 days"))
+        in_dir = str(tmp_path / "in")
+        old.union(newer).write.parquet(in_dir)
+        out = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--input", in_dir, "--output", out,
+             "--buckets", "2", "--dedup", "--dedup-keep", "newest"]
+        )
+        assert rc == 0
+        urls = {
+            r["url"]
+            for r in spark.read.parquet(f"{out}/data").collect()
+        }
+        assert urls and all(u.startswith("https://zmirror") for u in urls)
+
 
 class TestCliFilterDedupNear:
     def _pages(self, spark):

@@ -55,6 +55,40 @@ def test_gate_is_exactly_50_fully_oracled():
     assert set(QUERIES) == set(ORACLES)
 
 
+def test_newest_dedup_offgate_parity(spark, duck):
+    """keep='newest' (re-crawl policy) under the SAME sf0.01 hash
+    compare as the gate rows — kept OFF the registered dict only because
+    the driver records at most 50 entries (see queries() comment)."""
+    import __spark_entry__ as entry
+
+    got = (
+        entry._dedup_corpus_newest_docs(spark, SF_CORRECT)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = duck.sql(
+        entry._dedup_corpus_newest_docs_sql() + " order by doc_id"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    # Spark returns tz-aware (session tz), DuckDB's to_timestamp is
+    # TIMESTAMPTZ — normalize both to UTC-naive µs before comparing
+    def _us(s):
+        return (
+            pd.to_datetime(s, utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[us]")
+            .values
+        )
+
+    assert (_us(got["ts"]) == _us(want["ts"])).all()
+    # the policy discriminates: every variant pair's NEWER copy won,
+    # so some surviving ids are variant ids (base + 1000000)
+    assert (got["doc_id"] >= 1000000).any()
+    assert (got["doc_id"] < 1000000).any()
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()

@@ -907,6 +907,58 @@ class TestDeduplicatedCorpus:
         )
         assert got == [1, 4, 5]
 
+    def test_dedup_exact_corpus_keep_newest(self, spark, duck):
+        """keep='newest' (the re-crawl policy: latest warc_ts wins):
+        newest beats smaller ids, NULL timestamps rank oldest, equal
+        timestamps fall to the id tie-break — Spark and the SQL window
+        oracle row-identical."""
+        import datetime as dt
+
+        import pandas as pd
+
+        t = dt.datetime(2024, 1, 1)
+        d = dt.timedelta
+        rows = [
+            # group A: id 1 oldest, id 2 NEWEST (wins despite larger id)
+            (1, "alpha beta", t),
+            (2, "ALPHA   beta ", t + d(days=2)),
+            (3, "alpha beta", t + d(days=1)),
+            # group B: NULL ts loses to any dated capture
+            (4, "gamma delta", None),
+            (5, "gamma   DELTA", t - d(days=300)),
+            # group C: equal ts -> smallest id wins
+            (6, "epsilon", t),
+            (7, "EPSILON ", t),
+            # all-NULL group: id tie-break
+            (9, "zeta", None),
+            (8, "ZETA  ", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id: bigint, text: string, ts: timestamp"
+        )
+        want = [2, 5, 6, 8]
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_exact_corpus(
+                df, "doc_id", "text", keep="newest", ts_col="ts"
+            ).collect()
+        )
+        assert got == want
+        duck.register(
+            "newest_t", pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        )
+        oracle = sorted(
+            r[0]
+            for r in duck.sql(
+                dedup.dedup_exact_corpus_sql(
+                    "newest_t", "doc_id", "text", keep="newest", ts_col="ts"
+                )
+            ).fetchall()
+        )
+        assert oracle == want
+        with pytest.raises(ValueError, match="ts_col"):
+            dedup.dedup_exact_corpus(df, "doc_id", "text", keep="newest")
+
 
 class TestHistoryDedup:
     def test_cross_run_dedup(self, spark, tmp_path):
