@@ -135,6 +135,10 @@ def main() -> None:
                 pages, "url", "text", args.dedup_history,
                 update_history=False, keep_hash_col=True,
             )
+            # commit_history must read THIS pinned probe frame, not the
+            # output of later stages: history means "seen and decided"
+            # (cli.py carries the same capture + rationale)
+            hist_probe = pages
         if args.near_history:
             from mysql_data_quality_spark.operators.dedup import (
                 near_dedup_against_history,
@@ -144,6 +148,7 @@ def main() -> None:
                 pages, "url", "text", args.near_history,
                 update_history=False,
             )
+            near_probe = pages
         if args.domain_threshold is not None:
             from mysql_data_quality_spark.operators.domains import (
                 domain_quality_filtered,
@@ -198,14 +203,16 @@ def main() -> None:
                 commit_history,
             )
 
-            commit_history(pages, args.dedup_history)
+            commit_history(hist_probe, args.dedup_history)
             out["history_dir"] = args.dedup_history
         if args.near_history:
             from mysql_data_quality_spark.operators.dedup import (
                 commit_near_history,
             )
 
-            commit_near_history(pages, "url", "text", args.near_history)
+            commit_near_history(
+                near_probe, "url", "text", args.near_history
+            )
             out["near_history_dir"] = args.near_history
         print(json.dumps(out))
     finally:
