@@ -216,6 +216,18 @@ def cmd_filter(args) -> int:
     from mysql_data_quality_spark.reports import write_unified_report
     from mysql_data_quality_spark.rules.heuristics import profile_rules
 
+    keep = getattr(args, "dedup_keep", "min_id") or "min_id"
+    keep_ts = "warc_ts" if keep == "newest" else None
+    if keep != "min_id" and not (
+        getattr(args, "dedup", False) or getattr(args, "dedup_history", None)
+    ):
+        # same never-a-silent-no-op rule as --decontaminate-fuzzy below
+        print(
+            "error: --dedup-keep requires --dedup or --dedup-history "
+            "(there is no dedup stage for the policy to apply to)",
+            file=sys.stderr,
+        )
+        return 2
     fuzzy_thr = getattr(args, "decontaminate_fuzzy", None)
     if fuzzy_thr is not None and not getattr(args, "decontaminate", None):
         # a data-hygiene flag must never be a silent no-op: the fuzzy
@@ -308,10 +320,8 @@ def cmd_filter(args) -> int:
                 dedup_exact_corpus,
             )
 
-            keep = getattr(args, "dedup_keep", "min_id") or "min_id"
             pages = dedup_exact_corpus(
-                pages, "url", "text", keep=keep,
-                ts_col="warc_ts" if keep == "newest" else None,
+                pages, "url", "text", keep=keep, ts_col=keep_ts
             )
         if hist_dir:
             # cross-RUN incremental dedup: probe the hash history now,
@@ -325,6 +335,7 @@ def cmd_filter(args) -> int:
             pages = dedup_against_history(
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
+                keep=keep, ts_col=keep_ts,
             )
             # the PINNED probe result is what commit_history records
             # after the write — capture it before later stages (decon/
@@ -850,9 +861,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--dedup-keep",
         choices=["min_id", "longest", "newest"],
         default="min_id",
-        help="with --dedup: which duplicate wins — smallest url "
-        "(min_id), longest raw text, or latest warc_ts (newest; the "
-        "re-crawl policy)",
+        help="with --dedup / --dedup-history: which duplicate wins — "
+        "smallest url (min_id), longest raw text, or latest warc_ts "
+        "(newest; the re-crawl policy)",
     )
     f.add_argument(
         "--files-per-bucket",

@@ -90,8 +90,14 @@ def blocklisted_urls(
     hits the blocklist; ``matched_domain`` is the lexicographically
     smallest hit (deterministic when several list entries match).  The
     blocklist broadcasts; the corpus explodes ids + suffixes only."""
+    # entry normalization MIRRORS url_host_col: lowercase + trim + strip
+    # trailing root-label dots — an FQDN-spelled entry ('example.com.')
+    # must match the same hosts its plain spelling does (r5 review: the
+    # host side strips the dot, so an unstripped entry matched nothing)
     bl = blocklist.select(
-        F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")
+        F.regexp_replace(
+            F.lower(F.trim(F.col(domain_col))), r"\.+$", ""
+        ).alias("_bl_domain")
     ).where(F.length("_bl_domain") > 0).distinct()
     sufs = corpus.select(
         F.col(url_col).alias("_bl_url"),
@@ -115,10 +121,11 @@ def blocklisted_urls_sql(
     domain_col: str = "domain",
 ) -> str:
     sufs = host_suffixes_sql(url_col)
+    norm_d = f"regexp_replace(lower(trim({domain_col})), '\\.+$', '')"
     return f"""
 with _bl as (
-  select distinct lower(trim({domain_col})) as d from {blocklist_rel}
-  where len(lower(trim({domain_col}))) > 0
+  select distinct {norm_d} as d from {blocklist_rel}
+  where len({norm_d}) > 0
 ), _sufs as (
   select {url_col} as u, unnest({sufs}) as s from {corpus_rel}
 )

@@ -1190,6 +1190,8 @@ def dedup_against_history(
     update_history: bool = True,
     pin: str = "localCheckpoint",
     keep_hash_col: bool = False,
+    keep: str = "min_id",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Incremental cross-RUN exact dedup: drop documents whose
     (normalized) text hash was seen in any PREVIOUS batch run, keep one
@@ -1204,7 +1206,8 @@ def dedup_against_history(
     ~40 TB-scale-friendly — hashes only, never text — and the probe is
     a shuffle anti join on the md5 (the history is NOT broadcast: it
     grows without bound across runs).  Within-batch dedup reuses
-    :func:`dedup_exact_corpus` (keep smallest id).
+    :func:`dedup_exact_corpus` with the caller's ``keep``/``ts_col``
+    policy (default smallest id).
 
     ``update_history=True`` appends the surviving hashes AFTER the
     caller materializes the returned frame — here, eagerly, because the
@@ -1240,7 +1243,12 @@ def dedup_against_history(
     spark = df.sparkSession
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
-    batch_dedup = dedup_exact_corpus(df, id_col, text_col, normalize=normalize)
+    # keep/ts_col thread through to the within-batch dedup so a caller's
+    # representative policy (e.g. --dedup-keep newest) applies here too —
+    # hardcoding min_id made the flag a silent no-op under --dedup-history
+    batch_dedup = dedup_exact_corpus(
+        df, id_col, text_col, normalize=normalize, keep=keep, ts_col=ts_col
+    )
     hashed = batch_dedup.withColumn("text_md5", F.md5(norm))
     from pyspark.errors import AnalysisException
 

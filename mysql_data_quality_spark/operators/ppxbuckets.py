@@ -145,20 +145,47 @@ def perplexity_buckets_approx(
     # combinable, no extra scan.  The global row backstops languages the
     # hash sample missed entirely (threshold_fraction < 1) — without it
     # their docs would all fall to 'tail' regardless of score.
-    cuts_all = cut_src.rollup(lang_col).agg(
+    #
+    # The cuts are COLLECTED to the driver (bounded: #languages + 1 rows
+    # — the same bounded-aggregate-collect class as the IVF train sample)
+    # and re-enter the plan as a literal frame + literal array: one scan,
+    # no checkpoint blocks lingering in executor storage, and the
+    # bucketing plan has NO lineage back to the threshold pass.  The
+    # threshold job therefore runs when THIS function is called (the
+    # thresholds ARE a stats pass), not at first downstream action.
+    rows = cut_src.rollup(lang_col).agg(
         F.percentile_approx(
             score_col, [1.0 / 3.0, 2.0 / 3.0], accuracy
         ).alias("_ppx_cuts"),
         F.grouping(lang_col).alias("_ppx_g"),
+    ).collect()
+    spark = df.sparkSession
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    lang_type = df.schema[lang_col].dataType
+
+    def _dbl(cuts):
+        # percentile_approx over an integer score column yields ints
+        return None if cuts is None else [float(x) for x in cuts]
+
+    per_lang = spark.createDataFrame(
+        [
+            (r[lang_col], _dbl(r["_ppx_cuts"]))
+            for r in rows
+            if r["_ppx_g"] == 0
+        ],
+        StructType([
+            StructField("_ppx_lang", lang_type),
+            StructField("_ppx_cuts", ArrayType(DoubleType())),
+        ]),
     )
-    # the per-lang and global splits below are TWO consumers — pin the
-    # (#langs + 1)-row result so the threshold scan over cut_src runs once
-    cuts_all = cuts_all.localCheckpoint()
-    per_lang = cuts_all.where(F.col("_ppx_g") == 0).select(
-        F.col(lang_col).alias("_ppx_lang"), "_ppx_cuts"
+    glob = _dbl(
+        next((r["_ppx_cuts"] for r in rows if r["_ppx_g"] == 1), None)
     )
-    global_cuts = cuts_all.where(F.col("_ppx_g") == 1).select(
-        F.col("_ppx_cuts").alias("_ppx_cuts_g")
+    glob_lit = (
+        F.lit(glob)
+        if glob is not None
+        else F.lit(None).cast("array<double>")
     )
     # eqNullSafe, not an equi-join: a NULL language is a real group (the
     # langid-failed slice) with its own cut row — a plain `on=lang_col`
@@ -169,12 +196,7 @@ def perplexity_buckets_approx(
         F.col(lang_col).eqNullSafe(F.col("_ppx_lang")),
         "left",
     ).drop("_ppx_lang")
-    # one-row broadcast nested-loop join: every doc sees the global cuts.
-    # LEFT on lit(True), not a cross join — an empty sample (tiny
-    # fraction × small corpus) must degrade to NULL cuts ('tail'), never
-    # wipe the output
-    joined = joined.join(F.broadcast(global_cuts), F.lit(True), "left")
-    cuts = F.coalesce(F.col("_ppx_cuts"), F.col("_ppx_cuts_g"))
+    cuts = F.coalesce(F.col("_ppx_cuts"), glob_lit)
     head_cut = F.element_at(cuts, 2)  # the top third starts here
     mid_cut = F.element_at(cuts, 1)
     bucket = (
@@ -182,7 +204,4 @@ def perplexity_buckets_approx(
         .when(F.col(score_col) >= mid_cut, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
-        joined.withColumn("ppx_bucket", bucket)
-        .drop("_ppx_cuts", "_ppx_cuts_g")
-    )
+    return joined.withColumn("ppx_bucket", bucket).drop("_ppx_cuts")

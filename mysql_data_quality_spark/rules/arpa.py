@@ -429,14 +429,43 @@ def avg_logprob_pandas_udf(
     the broadcast handle, never the model itself."""
 
     # driver-side resolution: the SAME gates _score_texts applies, plus a
-    # local load probe — the boolean (not the probe result) rides the
-    # closure, and strict mode holds executors to the driver's choice
-    kenlm_resolved = bool(
+    # CHEAP availability probe (bindings import + model file readable —
+    # NOT a full kenlm.Model load, which would pull a GB-scale binary
+    # into driver memory just to derive a boolean).  The boolean rides
+    # the closure; strict mode holds executors to the driver's choice.
+    # A corrupt model file passes the probe but raises on the first
+    # executor load — loud, uniform, never mixed-scorer.
+    def _kenlm_available_here(path: str) -> bool:
+        import os
+
+        try:
+            import kenlm  # noqa: F401
+        except ImportError:
+            return False
+        return os.path.isfile(path) and os.access(path, os.R_OK)
+
+    wants_kenlm = bool(
         use_kenlm
         and model.source_path is not None
         and not (model.lowercase and model.case_folded)
-        and _load_kenlm(model.source_path) is not None
     )
+    kenlm_resolved = wants_kenlm and _kenlm_available_here(model.source_path)
+    if wants_kenlm and not kenlm_resolved:
+        # the caller asked for the fast path and the model qualifies,
+        # but this driver can't see the bindings/file: every partition
+        # will run the pure-Python scorer (documented 10-100x slower) —
+        # say so instead of silently multiplying the job's cost
+        import warnings
+
+        warnings.warn(
+            "kenlm fast path unavailable on the driver (bindings not "
+            f"importable or {model.source_path!r} unreadable): scoring "
+            "pure-Python on ALL executors for scorer uniformity. "
+            "Install kenlm + the model file on the driver to enable it, "
+            "or pass use_kenlm=False to silence this.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def score_batch(m: ArpaModel, texts: pd.Series) -> pd.Series:
         return _score_texts(m, texts, kenlm_resolved, strict=kenlm_resolved)

@@ -413,13 +413,20 @@ class TestKenlmFastPath:
 
     def test_udf_resolution_is_pure_python_without_kenlm(self, tmp_path):
         """Driver-side resolution in the sandbox (no kenlm): the UDF
-        closure must carry kenlm_resolved=False, so executors score
-        pure-Python even if kenlm were to appear there later — one
-        scorer per job, chosen once."""
+        closure must carry kenlm_resolved=False — one scorer per job,
+        chosen once — and a RuntimeWarning must say the requested fast
+        path is unavailable (a 10-100x cost change should never be
+        silent).  use_kenlm=False builds silently."""
+        import warnings
+
+        import pytest
+
         p = tmp_path / "m.arpa"
         p.write_text(TINY_ARPA)
         m = arpa.parse_arpa_file(str(p))
-        # building the UDF probes kenlm on the driver and must succeed
-        # (and resolve to the pure path) when the bindings are absent
         assert arpa._load_kenlm(str(p)) is None
-        arpa.avg_logprob_pandas_udf(m)
+        with pytest.warns(RuntimeWarning, match="unavailable on the driver"):
+            arpa.avg_logprob_pandas_udf(m)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            arpa.avg_logprob_pandas_udf(m, use_kenlm=False)

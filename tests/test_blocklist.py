@@ -23,7 +23,9 @@ CORPUS = [
     ("https://notexample.com/lookalike", "x"),  # suffix, not substring
     ("http://evil.com./rooted", "x"),  # absolute FQDN (trailing dot)
 ]
-BL = [("example.com",), ("  Tracker.NET ",), ("",), ("evil.com",)]
+BL = [("example.com",), ("  Tracker.NET ",), ("",), ("evil.com",),
+      ("rooted.org.",)]  # FQDN-spelled entry must match plain hosts
+CORPUS.append(("https://sub.rooted.org/x", "x"))
 
 
 class TestBlocklist:
@@ -58,6 +60,8 @@ class TestBlocklist:
         assert "https://good.org/fine" not in flagged
         # r5 review: a trailing root-label dot must not evade the block
         assert flagged["http://evil.com./rooted"] == "evil.com"
+        # ...and an FQDN-SPELLED blocklist entry matches plain hosts
+        assert flagged["https://sub.rooted.org/x"] == "rooted.org"
         kept = {r["url"] for r in B.blocklist_filtered_corpus(corpus, bl).collect()}
         assert kept == {
             "https://good.org/fine", "not a url at all",

@@ -430,6 +430,20 @@ class TestCliFilter:
         }
         assert urls and all(u.startswith("https://zmirror") for u in urls)
 
+    def test_dedup_keep_without_dedup_stage_errors(self, tmp_path, capsys):
+        """--dedup-keep with neither --dedup nor --dedup-history must
+        fail loudly (exit 2) — a policy flag with no stage to apply to
+        is the silent-no-op class, like --decontaminate-fuzzy alone."""
+        from mysql_data_quality_spark import cli
+
+        rc = cli.main(
+            ["filter", "--input", str(tmp_path / "in"),
+             "--output", str(tmp_path / "out"),
+             "--dedup-keep", "newest"]
+        )
+        assert rc == 2
+        assert "--dedup" in capsys.readouterr().err
+
 
 class TestCliFilterDedupNear:
     def _pages(self, spark):
