@@ -1207,7 +1207,12 @@ def dedup_against_history(
     a shuffle anti join on the md5 (the history is NOT broadcast: it
     grows without bound across runs).  Within-batch dedup reuses
     :func:`dedup_exact_corpus` with the caller's ``keep``/``ts_col``
-    policy (default smallest id).
+    policy (default smallest id).  NB the policy applies WITHIN the
+    batch only: across runs the history anti join keeps the copy that
+    already shipped — a re-crawl of a seen text is dropped even under
+    ``keep='newest'``, because re-emitting it would put two captures of
+    one document in the corpus (the exact failure dedup exists to
+    prevent).
 
     ``update_history=True`` appends the surviving hashes AFTER the
     caller materializes the returned frame — here, eagerly, because the

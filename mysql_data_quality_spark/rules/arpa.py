@@ -317,6 +317,8 @@ def parse_arpa_file(path: str, lowercase: bool = True) -> ArpaModel:
 
 #: executor-side model cache: one kenlm.Model per (process, path)
 _KENLM_CACHE: dict = {}
+#: why a cached load failed, for the strict-mode error message
+_KENLM_ERR: dict = {}
 
 
 def _load_kenlm(path: str):
@@ -336,8 +338,9 @@ def _load_kenlm(path: str):
     if path not in _KENLM_CACHE:
         try:
             _KENLM_CACHE[path] = kenlm.Model(path)
-        except Exception:
+        except Exception as e:
             _KENLM_CACHE[path] = None
+            _KENLM_ERR[path] = repr(e)
     return _KENLM_CACHE[path]
 
 
@@ -393,11 +396,20 @@ def _score_texts(
                 dtype="float64",
             )
         if strict:
+            why = _KENLM_ERR.get(m.source_path)
+            detail = (
+                f"kenlm.Model({m.source_path!r}) failed to load here: "
+                f"{why} — the file may be incompatible with this kenlm "
+                "build"
+                if why
+                else f"the kenlm bindings are not importable or "
+                f"{m.source_path!r} is absent on this node — install "
+                "both on every node"
+            )
             raise RuntimeError(
-                "kenlm was selected on the driver but is unavailable on "
-                f"this executor (path {m.source_path!r}): install the "
-                "bindings + model file on every node, or pass "
-                "use_kenlm=False for the uniform pure-Python scorer"
+                "kenlm was selected on the driver but is unusable on "
+                f"this executor ({detail}); pass use_kenlm=False for "
+                "the uniform pure-Python scorer"
             )
     return pd.Series([m.avg_logprob(t) for t in texts], dtype="float64")
 

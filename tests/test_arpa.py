@@ -411,7 +411,9 @@ class TestKenlmFastPath:
             del sys.modules["kenlm"]
             arpa._KENLM_CACHE.clear()
 
-    def test_udf_resolution_is_pure_python_without_kenlm(self, tmp_path):
+    def test_udf_resolution_is_pure_python_without_kenlm(
+        self, spark, tmp_path
+    ):
         """Driver-side resolution in the sandbox (no kenlm): the UDF
         closure must carry kenlm_resolved=False — one scorer per job,
         chosen once — and a RuntimeWarning must say the requested fast

@@ -959,6 +959,41 @@ class TestDeduplicatedCorpus:
         with pytest.raises(ValueError, match="ts_col"):
             dedup.dedup_exact_corpus(df, "doc_id", "text", keep="newest")
 
+    def test_keep_policy_threads_through_history_dedup(
+        self, spark, tmp_path
+    ):
+        """r5 review: the keep/ts_col policy must reach the WITHIN-BATCH
+        dedup inside dedup_against_history (hardcoding min_id there made
+        --dedup-keep a silent no-op under --dedup-history) — and across
+        runs the history still keeps the already-shipped copy, by
+        design."""
+        import datetime as dt
+
+        hist = str(tmp_path / "hist")
+        t = dt.datetime(2024, 6, 1)
+        df = spark.createDataFrame(
+            [(1, "same text", t),
+             (2, "same text", t + dt.timedelta(days=1)),
+             (3, "other", t)],
+            "doc_id: bigint, text: string, ts: timestamp",
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_against_history(
+                df, "doc_id", "text", hist, keep="newest", ts_col="ts"
+            ).collect()
+        )
+        assert got == [2, 3]  # newest wins within batch (min_id kept 1)
+        # run 2: an even newer re-crawl of the same text — dropped by the
+        # history probe (the shipped copy stays the representative)
+        df2 = spark.createDataFrame(
+            [(9, "same text", t + dt.timedelta(days=30))],
+            "doc_id: bigint, text: string, ts: timestamp",
+        )
+        assert dedup.dedup_against_history(
+            df2, "doc_id", "text", hist, keep="newest", ts_col="ts"
+        ).count() == 0
+
 
 class TestHistoryDedup:
     def test_cross_run_dedup(self, spark, tmp_path):
