@@ -308,6 +308,7 @@ def cmd_filter(args) -> int:
         near_hist = getattr(args, "near_history", None)
         fuzzy_sigs = None
         fp_prints = None
+        mh_sigs = None
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -420,7 +421,11 @@ def cmd_filter(args) -> int:
                         pages, "url", "text",
                         k=3, num_hashes=32, bands=8,
                         threshold=args.near_threshold,
+                        star_edges=getattr(args, "near_star_edges", False),
                     )
+                    # cache-lifetime handle (r5 ADVICE): released after
+                    # the write below, like fp_prints/fuzzy_sigs
+                    mh_sigs = pairs._persisted_sigs
                     pages = deduplicated_corpus(pages, pairs, "url")
                 # else: near_dedup_against_history below runs the
                 # identical within-batch minhash pass internally —
@@ -514,6 +519,20 @@ def cmd_filter(args) -> int:
                 res, "pages", Path(args.output) / "metrics"
             )
             stats["metrics_reports"] = {k: str(v) for k, v in paths.items()}
+        if (hist_dir or near_hist) and dom_thr is not None:
+            # domain keep-rate is CORPUS-RELATIVE, not a content
+            # property: a doc dropped solely because its domain scored
+            # badly THIS run must not be suppressed from every future
+            # run (r5 ADVICE).  Commit only the domain-survivors —
+            # semi-join the pinned probe frames against the post-domain
+            # corpus, accepting that a byte-identical redelivery of a
+            # domain-dropped doc is re-judged next run (the correct
+            # trade: its domain may score fine in that corpus).
+            survivors = pages.select("url")
+            if hist_dir:
+                hist_probe = hist_probe.join(survivors, "url", "left_semi")
+            if near_hist:
+                near_probe = near_probe.join(survivors, "url", "left_semi")
         if hist_dir:
             # the write (or its verified resume) is complete: NOW record
             # this batch's hashes (reads the pinned probe result, not the
@@ -546,6 +565,11 @@ def cmd_filter(args) -> int:
             # likewise for the winnowing fingerprint frame behind
             # --dedup-near fingerprint
             fp_prints.unpersist()
+        if mh_sigs is not None:
+            # and for the minhash signature cache behind --dedup-near
+            # minhash (r5 ADVICE: this path leaked the cache for the
+            # lifetime of long-lived drivers reusing cmd_filter)
+            mh_sigs.unpersist()
         print(json.dumps(stats))
         return 0
 
@@ -913,6 +937,15 @@ def build_parser() -> argparse.ArgumentParser:
         "minhash)",
     )
     f.add_argument(
+        "--near-star-edges",
+        action="store_true",
+        help="with --dedup-near minhash: emit linear bucket-min<->member "
+        "LSH edges instead of all in-bucket pairs — same connected "
+        "components for template families at a fraction of the pair "
+        "volume; recommended at web scale (the clustering consumer only "
+        "needs connectivity)",
+    )
+    f.add_argument(
         "--near-min-shared",
         type=int,
         default=3,
@@ -1003,7 +1036,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="RATE",
         help="drop WHOLE domains whose page keep-rate under the rule "
         "registry is below RATE (RefinedWeb-style site-level admission; "
-        "includes the domain's individually-passing pages)",
+        "includes the domain's individually-passing pages). With "
+        "--dedup-history/--near-history, only domain-SURVIVORS commit "
+        "to history: domain keep-rate is corpus-relative, so a doc "
+        "dropped solely by this stage is re-judged on redelivery "
+        "instead of being suppressed forever",
     )
     f.add_argument(
         "--domain-min-docs",

@@ -373,23 +373,93 @@ def _pairs_from_banded(
     banded: DataFrame,
     num_hashes: int,
     threshold: float,
+    max_bucket_size: int | None = None,
+    star_edges: bool = False,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Shared LSH tail: band-collision candidates (ids only on the
     exchange), deduped, signatures joined back per side, scored by
     fraction of agreeing signature rows (the Jaccard estimate).  ONE
     implementation for the production (xxhash64) and oracle (md5)
-    variants — a fix here is a fix in both."""
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bh"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    variants — a fix here is a fix in both.
+
+    ``max_bucket_size`` is the hot-bucket guard (r5 verdict ask #1): a
+    degenerate band bucket — boilerplate/template families sharing a
+    band hash, guaranteed in Common-Crawl-like data — otherwise emits
+    O(n²) candidate rows before threshold verification.  Buckets with
+    more than N members are dropped via broadcast ANTI join (the same
+    shape as the hot-shingle guard in :func:`shingle_jaccard_pairs`:
+    hot buckets are few by definition → tiny broadcast; a window over
+    ``bh`` would funnel each hot bucket into one task, recreating the
+    skew).  Dropping only *underestimates* near-dup recall for
+    boilerplate families — run exact dedup first and/or use
+    ``star_edges`` when the consumer is clustering.  ``log_drops``
+    logs the dropped bucket/row counts (one extra bounded aggregate
+    job over the banded frame, run eagerly at PLAN-BUILD time so the
+    warning precedes the run; ``sigs`` is normally persisted so the
+    rescan is cheap — pass ``log_drops=False`` for a fully lazy plan)
+    — no silent caps.
+
+    ``star_edges`` makes bucket output LINEAR instead of quadratic:
+    each bucket emits (bucket-min doc_id ↔ member) edges only, not all
+    pairs.  Connectivity within a bucket is preserved, which is all a
+    :func:`duplicate_clusters` consumer needs; pairs are still scored
+    and threshold-filtered, so a verification failure of a star edge
+    can split a cluster that all-pairs mode would keep whole (pass
+    ``threshold=0.0`` for pure band-collision connectivity).  Not for
+    consumers that need every qualifying PAIR enumerated.
+    """
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_bucket_size)
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .join(
+        if log_drops:
+            import logging
+
+            stats = hot.agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum("bsz"), F.lit(0)).alias("rows"),
+            ).collect()[0]
+            if stats["buckets"]:
+                logging.getLogger(__name__).warning(
+                    "minhash LSH hot-bucket guard: dropped %d band "
+                    "buckets (> %d members, %d banded rows) before the "
+                    "pair join; near-dup recall inside those template "
+                    "families is reduced — run exact dedup first or use "
+                    "star_edges for the clustering path",
+                    stats["buckets"], max_bucket_size, stats["rows"],
+                )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "bh")),
+            on=["band", "bh"],
+            how="left_anti",
+        )
+    if star_edges:
+        mins = banded.groupBy("band", "bh").agg(
+            F.min("doc_id").alias("doc_a")
+        )
+        cand = (
+            banded.join(mins, on=["band", "bh"])
+            .where(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(b, on=["band", "bh"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    cand = (
+        cand.join(
             sigs.select(
                 F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
             ),
@@ -427,9 +497,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     persist_sigs: bool = True,
     sigs: DataFrame | None = None,
+    max_bucket_size: int | None = 5000,
+    star_edges: bool = False,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature
     agreement (estimate of Jaccard).
+
+    ``max_bucket_size`` (ON by default, 5000) is the hot-band-bucket
+    guard; ``star_edges`` emits linear bucket-min↔member edges for the
+    clustering consumer — both documented on :func:`_pairs_from_banded`.
+    Pass ``max_bucket_size=None`` for the exact all-collisions result
+    (tiny-scale oracle parity uses the md5 twin, which does).
 
     ``sigs`` injects a precomputed :func:`minhash_signatures` frame (must
     match ``num_hashes``; ``k``/``text_col`` are then unused) so callers
@@ -451,14 +530,28 @@ def minhash_lsh_pairs(
     instead and pass ``persist_sigs=False``.
     """
     assert num_hashes % bands == 0
+    own_persist = None
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
         if persist_sigs:
             from pyspark import StorageLevel
 
             sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+            own_persist = sigs
     banded = band_rows(sigs, num_hashes, bands)
-    return _pairs_from_banded(sigs, banded, num_hashes, threshold)
+    out = _pairs_from_banded(
+        sigs, banded, num_hashes, threshold,
+        max_bucket_size=max_bucket_size,
+        star_edges=star_edges,
+        log_drops=log_drops,
+    )
+    if own_persist is not None:
+        # cache-lifetime handle for long-lived drivers (same contract as
+        # fingerprint_duplicate_pairs._persisted_prints): call
+        # ``result._persisted_sigs.unpersist()`` once the pair list is
+        # consumed.  Harmless to ignore in one-shot jobs.
+        out._persisted_sigs = own_persist
+    return out
 
 
 def minhash_lsh_pairs_md5(
@@ -1316,6 +1409,7 @@ def _check_near_history_params(
     k: int,
     num_hashes: int,
     bands: int,
+    for_write: bool = True,
 ) -> None:
     """Band hashes from different (k, num_hashes, bands) geometries are
     incomparable — a silent mismatch would make every probe miss and
@@ -1323,7 +1417,13 @@ def _check_near_history_params(
     again).  The first commit records the geometry in
     ``_near_params.json`` at the history root (underscore-prefixed:
     invisible to parquet readers); every later probe/commit validates
-    against it and raises loudly on drift."""
+    against it and raises loudly on drift.
+
+    ``for_write=False`` (probe-only callers, ``update_history=False``)
+    VALIDATES when the file exists but never creates it or the dir —
+    a read-only probe against a fresh or read-only-mounted history must
+    stay write-free (r5 ADVICE; same contract as
+    ``_fold_legacy_layout(for_write=False)``)."""
     import json as _json
 
     jvm = spark._jvm
@@ -1347,6 +1447,8 @@ def _check_near_history_params(
                 "incomparable across geometries; use the original "
                 "parameters or start a new history dir"
             )
+        return
+    if not for_write:
         return
     if not fs.exists(hpath(history_dir)):
         fs.mkdirs(hpath(history_dir))
@@ -1423,7 +1525,9 @@ def near_dedup_against_history(
     if pin not in ("localCheckpoint", "disk"):
         raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
     spark = df.sparkSession
-    _check_near_history_params(spark, history_dir, k, num_hashes, bands)
+    _check_near_history_params(
+        spark, history_dir, k, num_hashes, bands, for_write=update_history
+    )
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )

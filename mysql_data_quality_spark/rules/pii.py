@@ -108,8 +108,10 @@ def scrub_credit_cards_udf() -> Column:
     # no type hints: pandas is imported locally, so quoted 'pd.Series'
     # hints can't resolve against module globals (pandas_udf would raise)
     def batch(values):
-        return values.fillna("").astype(str).map(
-            lambda s: pat.sub(repl, s)
+        # null-preserving, matching the regexp_replace scrub chain's
+        # convention (NULL in -> NULL out, never '')
+        return values.map(
+            lambda s: pat.sub(repl, s) if isinstance(s, str) else s
         )
 
     return pandas_udf(batch, "string")

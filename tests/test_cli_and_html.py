@@ -786,6 +786,70 @@ class TestCliFilterHistory:
         if files:
             assert spark.read.parquet(str(data2)).count() == 0
 
+    def test_domain_dropped_docs_do_not_commit_to_history(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """r5 ADVICE: domain keep-rate is CORPUS-RELATIVE, unlike the
+        content-property stages (dedup/decontaminate) — a doc dropped
+        solely because its domain scored badly THIS run must not be
+        suppressed from all future runs.  Run 1 kills junkfarm.com whole
+        (its passing page too); run 2 redelivers that passing page in a
+        corpus where its domain is fine — it must ship."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from tests.test_domains import GOOD, JUNK
+
+        monkeypatch.chdir(tmp_path)
+
+        def _pages(rows):
+            return (
+                spark.createDataFrame(rows, "url: string, text: string")
+                .withColumn("lang", F.lit("en"))
+                .withColumn("warc_ts", F.current_timestamp())
+                .withColumn("html", F.lit(None).cast("binary"))
+            )
+
+        hist = str(tmp_path / "hist")
+        good_url = "https://junkfarm.com/good"
+        good_text = GOOD + " junkfarm edition"
+        run1 = _pages([
+            ("https://junkfarm.com/a", JUNK + " aa"),
+            ("https://junkfarm.com/b", JUNK + " bb"),
+            ("https://junkfarm.com/c", JUNK + " cc"),
+            (good_url, good_text),            # passes rules, dies by site
+            ("https://fine.org/a", GOOD + " one"),
+            ("https://fine.org/b", GOOD + " two"),
+            ("https://fine.org/c", GOOD + " three"),
+        ])
+        in1 = str(tmp_path / "in1")
+        run1.write.parquet(in1)
+        rc = cli.main(
+            ["filter", "--input", in1, "--output", str(tmp_path / "o1"),
+             "--buckets", "2", "--dedup-history", hist,
+             "--domain-threshold", "0.5", "--domain-min-docs", "2"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        out1 = spark.read.parquet(str(tmp_path / "o1") + "/data")
+        assert out1.where(F.col("url").contains("junkfarm")).count() == 0
+        # only domain-SURVIVORS committed: fine.org's 3 docs, nothing else
+        hashes = spark.read.parquet(hist)
+        assert hashes.count() == 3
+        # run 2: the good junkfarm page redelivered alone — its domain is
+        # now under the evidence floor, so only the history probe could
+        # drop it; with the post-domain commit it ships
+        in2 = str(tmp_path / "in2")
+        _pages([(good_url, good_text)]).write.parquet(in2)
+        rc = cli.main(
+            ["filter", "--input", in2, "--output", str(tmp_path / "o2"),
+             "--buckets", "2", "--dedup-history", hist,
+             "--domain-threshold", "0.5", "--domain-min-docs", "2"]
+        )
+        assert rc == 0
+        out2 = spark.read.parquet(str(tmp_path / "o2") + "/data")
+        assert out2.where(F.col("url") == good_url).count() == 1
+
 
 class TestCliStreamMetrics:
     def test_stream_metrics_e2e(self, spark, tmp_path, monkeypatch, capsys):

@@ -79,6 +79,29 @@ class TestNearDedupAgainstHistory:
         with pytest.raises(ValueError, match="incomparable"):
             D.commit_near_history(df, "doc_id", "text", hd, num_hashes=64)
 
+    def test_probe_only_is_write_free(self, spark, tmp_path):
+        """A probe (update_history=False) against a FRESH history dir
+        must not create the dir, the params file, or anything else — a
+        read-only mount must survive the first probe (r5 ADVICE; same
+        contract as _fold_legacy_layout(for_write=False))."""
+        hd = tmp_path / "nh-readonly"
+        out = D.near_dedup_against_history(
+            _docs(spark, [(1, BASE), (3, OTHER)]), "doc_id", "text",
+            str(hd), update_history=False,
+        )
+        assert out.count() == 2
+        assert not hd.exists(), list(hd.iterdir()) if hd.exists() else None
+        # geometry drift is still caught once the file DOES exist
+        D.near_dedup_against_history(
+            _docs(spark, [(1, BASE)]), "doc_id", "text", str(hd)
+        )
+        assert (hd / "_near_params.json").exists()
+        with pytest.raises(ValueError, match="incomparable"):
+            D.near_dedup_against_history(
+                _docs(spark, [(1, BASE)]), "doc_id", "text", str(hd),
+                bands=4, update_history=False,
+            )
+
     def test_pin_guard(self, spark, tmp_path):
         with pytest.raises(ValueError, match="pin"):
             D.near_dedup_against_history(

@@ -160,7 +160,8 @@ class TestLuhnAndCardScrub:
         assert got[2] == "pay <CARD> now"
         assert got[3] == "ref 1234567812345678 invoice"
         assert got[4] == "phone 1234-5678 is short"
-        assert got[5] == ""
+        # null-preserving, like the regexp_replace scrub chain (r5 ADVICE)
+        assert got[5] is None
         assert got[6] == "two cards <CARD> and <CARD>."
 
     def test_default_scrub_chain_untouched(self, spark):
