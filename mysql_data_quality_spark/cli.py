@@ -240,6 +240,17 @@ def cmd_filter(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "dedup_semantic", None) is not None and not getattr(
+        args, "semantic_embeddings", None
+    ):
+        # same rule: the semantic stage without its embedding source
+        # would silently dedup nothing
+        print(
+            "error: --dedup-semantic requires --semantic-embeddings "
+            "PARQUET (the url -> embedding mapping it clusters on)",
+            file=sys.stderr,
+        )
+        return 2
     load_dotenv()
     # profile picks the base enable mask; DQS_RULE_* env still overrides
     # individual thresholds/enables on top of it
@@ -462,6 +473,26 @@ def cmd_filter(args) -> int:
             # same capture as hist_probe: commit the pinned near-probe
             # survivors, not the post-domain-threshold frame
             near_probe = pages
+        sem_thr = getattr(args, "dedup_semantic", None)
+        if sem_thr is not None:
+            # SemDeDup stage: drop embedding-space near-duplicates
+            # (paraphrases/translations that shingle-level near-dup
+            # can't see).  Runs after the text-level dedup stages —
+            # fewer vectors to band — and before the filter, so rules
+            # and scrubbing run once per kept document.  Embeddings come
+            # from a provided parquet (url -> array<float>); pages
+            # without one are kept.
+            from mysql_data_quality_spark.operators.dedup import (
+                semantic_dedup_corpus,
+            )
+
+            pages = semantic_dedup_corpus(
+                pages,
+                spark.read.parquet(args.semantic_embeddings),
+                "url",
+                dim=getattr(args, "semantic_dim", None),
+                threshold=sem_thr,
+            )
         dom_thr = getattr(args, "domain_threshold", None)
         if dom_thr is not None:
             # whole-SITE admission (RefinedWeb "bad neighborhood" stage):
@@ -1028,6 +1059,29 @@ def build_parser() -> argparse.ArgumentParser:
         "rows append to DIR after the write commits (fuzzy analogue of "
         "--dedup-history; geometry pinned per dir). Subsumes "
         "--dedup-near minhash for the within-batch pass",
+    )
+    f.add_argument(
+        "--dedup-semantic",
+        type=float,
+        default=None,
+        metavar="COSINE",
+        help="SemDeDup stage: drop all but one page per cluster of "
+        "embedding-space near-duplicates (cosine >= COSINE); needs "
+        "--semantic-embeddings; runs after the text-level dedup stages",
+    )
+    f.add_argument(
+        "--semantic-embeddings",
+        default=None,
+        metavar="PARQUET",
+        help="parquet mapping url -> embedding (array<float>) for "
+        "--dedup-semantic; pages without an embedding are kept",
+    )
+    f.add_argument(
+        "--semantic-dim",
+        type=int,
+        default=None,
+        help="embedding dimensionality (default: inferred from the "
+        "first embedding row)",
     )
     f.add_argument(
         "--domain-threshold",

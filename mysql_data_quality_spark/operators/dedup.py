@@ -1692,3 +1692,94 @@ def deduplicated_corpus(
         F.col("doc_id").alias(id_col)
     )
     return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def semantic_dedup_corpus(
+    df: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    dim: int | None = None,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 24,
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup stage (Abbas et al. 2023): drop all
+    but one document from every cluster of embedding-space near-
+    duplicates (cosine >= ``threshold``), keeping the smallest id.
+
+    The reference has no embedding operators; this composes this repo's
+    scale paths into the shipped pipeline stage (r5 verdict ask #5):
+    ``ann.lsh_near_pairs`` (hyperplane-LSH candidates, ids-only on every
+    shuffle, exact-cosine re-rank) → :func:`duplicate_clusters`
+    (large/small-star, O(log n) rounds) → :func:`deduplicated_corpus`
+    (broadcast anti join; the corpus itself never shuffles).
+
+    ``embeddings`` maps ``id_col`` → ``vec_col`` (array<float/double>);
+    rows of ``df`` with no embedding are KEPT (no evidence to judge
+    them).  Embeddings are semi-joined to the current corpus first, so a
+    full embedding store can be passed for a filtered batch.
+
+    ``dim`` (hyperplane dimensionality) is inferred from the first
+    embedding row when omitted — one bounded driver-side action.
+    ``exact=True`` swaps the LSH candidates for the brute-force
+    crossJoin cosine (the tiny-scale oracle twin — same downstream
+    clustering; never at corpus scale).
+    """
+    from mysql_data_quality_spark.operators import ann
+
+    emb = embeddings.select(F.col(id_col), F.col(vec_col)).join(
+        df.select(id_col), on=id_col, how="left_semi"
+    )
+    if exact:
+        a = emb.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("_ea"))
+        b = emb.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("_eb"))
+        pairs = (
+            a.crossJoin(b)
+            .where(F.col("ia") < F.col("ib"))
+            .withColumn("cosine", ann.cosine_col(F.col("_ea"), F.col("_eb")))
+            .where(F.col("cosine") >= threshold)
+            .select("ia", "ib", "cosine")
+        )
+    else:
+        if dim is None:
+            row = emb.select(F.size(vec_col).alias("d")).first()
+            if row is None:
+                return df  # no embeddings for this corpus: nothing to do
+            dim = int(row["d"])
+        pairs = ann.lsh_near_pairs(
+            emb, dim=dim, threshold=threshold, bits=bits, tables=tables,
+            id_col=id_col, vec_col=vec_col,
+        )
+    return deduplicated_corpus(df, pairs, id_col, a_col="ia", b_col="ib")
+
+
+def semantic_dedup_corpus_sql(
+    corpus_rel: str,
+    emb_rel: str,
+    id_col: str,
+    threshold: float,
+    vec_a: str = "a.embedding",
+    vec_b: str = "b.embedding",
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup_corpus` (exact twin):
+    brute-force cosine pairs + recursive transitive closure + keep the
+    cluster minimum.  Tiny scale only."""
+    from mysql_data_quality_spark.operators.ann import cosine_sql
+
+    cos = cosine_sql(vec_a, vec_b)
+    pairs = f"""
+select a.{id_col} as doc_a, b.{id_col} as doc_b
+from {emb_rel} a join {emb_rel} b on a.{id_col} < b.{id_col}
+where a.{id_col} in (select {id_col} from {corpus_rel})
+  and b.{id_col} in (select {id_col} from {corpus_rel})
+  and ({cos}) >= {threshold}
+"""
+    closure = duplicate_clusters_sql(pairs)
+    return f"""
+select c.* from {corpus_rel} c
+where c.{id_col} not in (
+  select doc_id from ({closure}) cl where cl.doc_id <> cl.cluster_id
+)
+"""

@@ -55,6 +55,51 @@ def test_gate_is_exactly_50_fully_oracled():
     assert set(QUERIES) == set(ORACLES)
 
 
+RETIRED = {
+    # r6 gate rotation: slots freed for first-time-gated training-data
+    # operators; the retired queries keep the IDENTICAL sf0.01 compare
+    # here (same contract as dedup_corpus_newest_docs below)
+    "dup_value_counts": (
+        entry._dup_value_counts, entry._dup_value_counts_sql
+    ),
+    "nation_keys_union": (
+        entry._nation_keys_union, entry._nation_keys_union_sql
+    ),
+    "user_event_ranks": (
+        entry._user_event_ranks, entry._user_event_ranks_sql
+    ),
+    "part_brand_stats": (
+        entry._part_brand_stats, entry._part_brand_stats_sql
+    ),
+    "pivot_order_priority": (
+        entry._pivot_order_priority, entry._pivot_order_priority_sql
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED))
+def test_retired_gate_parity(spark, duck, name):
+    fn, sql = RETIRED[name]
+    sdf = fn(spark, SF_CORRECT).toPandas()
+    odf = duck.sql(sql()).df()
+    assert list(sorted(sdf.columns)) == list(sorted(odf.columns)), name
+    assert len(sdf) == len(odf) > 0, name
+    a, b = _canon(sdf), _canon(odf)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if a[c].dtype.kind == "f":
+            assert all(
+                (math.isnan(x) and math.isnan(y)) or x == y
+                for x, y in zip(av, bv)
+            ), f"{name}.{c}"
+        else:
+            assert (av == bv).all(), f"{name}.{c}"
+
+
+def test_retired_never_overlap_gate():
+    assert not set(RETIRED) & set(QUERIES)
+
+
 def test_newest_dedup_offgate_parity(spark, duck):
     """keep='newest' (re-crawl policy) under the SAME sf0.01 hash
     compare as the gate rows — kept OFF the registered dict only because

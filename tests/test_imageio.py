@@ -1,0 +1,183 @@
+"""Pure-numpy BMP/PPM codecs + the REAL multimodal decode path they
+unlock (r5 verdict ask #7): byte-exact round trips, format quirks
+(BMP row padding, bottom-up vs top-down, 32-bit alpha, PPM comments,
+P5 grayscale expansion), deterministic nearest resize, and the Spark
+``use_real_decode=True`` feature/resize paths against locally-computed
+expectations.  The default (byte-hash stand-in) paths — what the
+``media_features`` gate row uses — are pinned unchanged."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from mysql_data_quality_spark.functions import imageio as IIO
+from mysql_data_quality_spark.operators import multimodal as MM
+
+
+def _grad(h: int = 6, w: int = 5) -> np.ndarray:
+    """Deterministic gradient test image."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(y * 40) % 256, (x * 50) % 256, (y * 7 + x * 11) % 256], axis=2
+    ).astype(np.uint8)
+
+
+class TestPpm:
+    def test_round_trip(self):
+        a = _grad()
+        assert (IIO.decode_ppm(IIO.encode_ppm(a)) == a).all()
+
+    def test_header_comments_and_whitespace(self):
+        a = _grad(2, 2)
+        raw = b"P6\n# a comment\n  2\t2 # another\n255\n" + a.tobytes()
+        assert (IIO.decode_ppm(raw) == a).all()
+
+    def test_p5_grayscale_expands(self):
+        g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        raw = b"P5 3 2 255\n" + g.tobytes()
+        out = IIO.decode_ppm(raw)
+        assert out.shape == (2, 3, 3)
+        assert (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+
+    def test_truncated_raster_raises(self):
+        with pytest.raises(IIO.ImageFormatError, match="truncated"):
+            IIO.decode_ppm(b"P6 4 4 255\nshort")
+
+    def test_16bit_maxval_rejected(self):
+        with pytest.raises(IIO.ImageFormatError, match="maxval"):
+            IIO.decode_ppm(b"P6 1 1 65535\n\0\0\0\0\0\0")
+
+
+class TestBmp:
+    def test_round_trip_with_row_padding(self):
+        # w=5 -> 15-byte rows pad to 16: exercises the 4-byte alignment
+        a = _grad(6, 5)
+        assert (IIO.decode_bmp(IIO.encode_bmp(a)) == a).all()
+
+    def test_top_down_negative_height(self):
+        a = _grad(4, 4)
+        raw = bytearray(IIO.encode_bmp(a[::-1]))  # encoder is bottom-up
+        import struct
+
+        struct.pack_into("<i", raw, 22, -4)  # declare top-down
+        assert (IIO.decode_bmp(bytes(raw)) == a[::-1][::-1]).all()
+
+    def test_32bit_alpha_dropped(self):
+        import struct
+
+        a = _grad(2, 2)
+        bgra = np.dstack([a[:, :, ::-1], np.full((2, 2), 7, np.uint8)])
+        body = bgra[::-1].tobytes()  # bottom-up, rows already 4-aligned
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(body), 0, 0, 0, 0
+        )
+        assert (IIO.decode_bmp(hdr + body) == a).all()
+
+    def test_compressed_rejected(self):
+        import struct
+
+        raw = bytearray(IIO.encode_bmp(_grad(2, 2)))
+        struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+        with pytest.raises(IIO.ImageFormatError, match="compression"):
+            IIO.decode_bmp(bytes(raw))
+
+
+class TestResize:
+    def test_nearest_indices(self):
+        a = _grad(4, 4)
+        out = IIO.resize_nearest(a, 2, 2)
+        assert (out == a[[1, 3]][:, [1, 3]]).all()
+
+    def test_upscale(self):
+        a = _grad(2, 2)
+        out = IIO.resize_nearest(a, 4, 4)
+        assert out.shape == (4, 4, 3)
+        assert (out[0, 0] == a[0, 0]).all() and (out[3, 3] == a[1, 1]).all()
+
+
+class TestRealDecodeDispatch:
+    def test_sniffs_both_formats(self):
+        a = _grad()
+        assert (MM.real_decode(IIO.encode_ppm(a), None) == a).all()
+        assert (MM.real_decode(IIO.encode_bmp(a), None) == a).all()
+
+    def test_unknown_format_env_gated(self):
+        png_magic = b"\x89PNG\r\n\x1a\n" + b"\0" * 64
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL present: the gate would decode for real")
+        except ImportError:
+            pass
+        with pytest.raises(MM.DecodeUnavailable):
+            MM.real_decode(png_magic, "image/png")
+
+
+class TestSparkRealPaths:
+    def _media(self, spark, arrays, encoder):
+        rows = [
+            (f"m{i}", "image", encoder(a), "image/x-portable-pixmap",
+             None, None, None)
+            for i, a in enumerate(arrays)
+        ]
+        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    def test_extract_features_real_pixels(self, spark):
+        arrays = [_grad(6, 5), _grad(3, 7), np.zeros((2, 2, 3), np.uint8)]
+        df = self._media(spark, arrays, IIO.encode_ppm)
+        got = {
+            r["media_id"]: r["feature"]
+            for r in MM.extract_features(
+                df, feature_dim=8, use_real_decode=True
+            ).collect()
+        }
+        for i, a in enumerate(arrays):
+            want = MM._pixel_feature(a, 8)
+            assert got[f"m{i}"] == pytest.approx(want, abs=1e-6)
+        # all-black image: mean 0, histogram mass in bucket 0
+        assert got["m2"][0] == 0.0 and got["m2"][4] == 1.0
+
+    def test_resize_real_bytes(self, spark):
+        arrays = [_grad(6, 5), _grad(8, 8)]
+        df = self._media(spark, arrays, IIO.encode_bmp)
+        got = {
+            r["media_id"]: (r["resized_sha256"], r["resized_bytes"])
+            for r in MM.resize_images(
+                df, target_w=4, target_h=4, use_real_decode=True
+            ).collect()
+        }
+        for i, a in enumerate(arrays):
+            blob = IIO.encode_ppm(IIO.resize_nearest(a, 4, 4))
+            assert got[f"m{i}"] == (
+                hashlib.sha256(blob).hexdigest(), len(blob)
+            )
+
+    def test_partition_invariance(self, spark):
+        arrays = [_grad(4 + i, 5) for i in range(6)]
+        df = self._media(spark, arrays, IIO.encode_ppm)
+        one = MM.extract_features(
+            df.coalesce(1), use_real_decode=True
+        ).toPandas().sort_values("media_id").reset_index(drop=True)
+        many = MM.extract_features(
+            df.repartition(5), use_real_decode=True
+        ).toPandas().sort_values("media_id").reset_index(drop=True)
+        assert one.equals(many)
+
+    def test_default_fake_path_unchanged(self, spark):
+        """The media_features gate row runs the DEFAULT path on opaque
+        bytes — pin that adding the real kernels did not touch it."""
+        rows = [("x", "image", b"not an image at all", "text/plain",
+                 None, None, None)]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        out = MM.extract_features(df, feature_dim=4).collect()[0]
+        h = hashlib.sha256(b"not an image at all").digest()
+        assert out["feature"] == pytest.approx(
+            [h[i] / 256.0 for i in range(4)]
+        )
+        assert out["payload_sha256"] == hashlib.sha256(
+            b"not an image at all"
+        ).hexdigest()
