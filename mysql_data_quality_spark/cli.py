@@ -632,6 +632,7 @@ def cmd_stream_filter(args) -> int:
             dedup=args.dedup,
             dedup_state=args.state,
             n_state_buckets=args.state_buckets,
+            files_per_trigger=getattr(args, "files_per_trigger", 4),
         )
         q.awaitTermination()
         n_rows, n_batches = stream_input_rows(q)
@@ -1120,6 +1121,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--state", choices=["exact", "bloom"], default="exact",
                    help="dedup state backend (bloom = constant-size)")
     s.add_argument("--state-buckets", type=int, default=16)
+    s.add_argument(
+        "--files-per-trigger", type=int, default=4,
+        help="files per micro-batch; the per-batch floor is fixed "
+        "(~2.3s local: engine+checkpoint, plan analysis, sink commit), "
+        "so size triggers for seconds of compute per batch",
+    )
     s.set_defaults(fn=cmd_stream_filter)
 
     sm = sub.add_parser(
