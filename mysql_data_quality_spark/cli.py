@@ -469,6 +469,7 @@ def cmd_filter(args) -> int:
                 k=3, num_hashes=32, bands=8,
                 threshold=args.near_threshold,
                 update_history=False,
+                star_edges=getattr(args, "near_star_edges", False),
             )
             # same capture as hist_probe: commit the pinned near-probe
             # survivors, not the post-domain-threshold frame

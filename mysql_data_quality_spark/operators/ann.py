@@ -442,6 +442,7 @@ def lsh_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_sigs: bool = True,
+    star_edges: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs embedding near-dup: (ia, ib, cosine) for pairs
     with cosine >= threshold — the scale path that replaces the O(n²)
@@ -449,6 +450,20 @@ def lsh_near_pairs(
     oracle).  ``persist_sigs`` caches the signature frame feeding the
     three plan arms (banding + both sketch sides); at 10^12 rows write
     signatures to a table instead.
+
+    ``star_edges`` mirrors the minhash pair generator's mode
+    (``operators/dedup.py``): each (table, bucket) emits only
+    (bucket-min ↔ member) edges instead of all in-bucket pairs.  CAUTION
+    — unlike a minhash band collision (rows of agreeing minima: buckets
+    are near-pure duplicate families), a ``bits``-bit hyperplane bucket
+    holds ~n/2^bits arbitrary vectors.  With impure buckets the
+    bucket-min is usually NOT a near-dup of its members, the verified
+    star edges die at the cosine threshold, and clusters never form
+    (measured: 4 bits left 19,451 of 20,000 replica-corpus survivors vs
+    2,000 from all-pairs).  Use star_edges only with ``bits`` high
+    enough that a bucket is almost surely a duplicate group; the cheap
+    general fix for dup-heavy corpora is raising ``bits`` (selectivity)
+    with all-pairs enumeration — see :func:`semantic_dedup_corpus`.
 
     Plan, in cost order:
       1. one signature pass computes all ``tables`` per-table signatures
@@ -488,15 +503,26 @@ def lsh_near_pairs(
     banded = sigs.select(
         "vec_id", F.posexplode("sig").alias("tbl", "bkt")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, on=["tbl", "bkt"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+    if star_edges:
+        mins = banded.groupBy("tbl", "bkt").agg(
+            F.min("vec_id").alias("ia")
         )
-        .dropDuplicates(["ia", "ib"])
-    )
+        cand = (
+            banded.join(mins, on=["tbl", "bkt"])
+            .where(F.col("vec_id") != F.col("ia"))
+            .select("ia", F.col("vec_id").alias("ib"))
+            .dropDuplicates(["ia", "ib"])
+        )
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, on=["tbl", "bkt"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+            )
+            .dropDuplicates(["ia", "ib"])
+        )
     sa = sigs.select(F.col("vec_id").alias("ia"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("vec_id").alias("ib"), F.col("sig").alias("sig_b"))
     hamming = F.aggregate(

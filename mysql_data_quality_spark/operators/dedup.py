@@ -1475,6 +1475,7 @@ def near_dedup_against_history(
     update_history: bool = True,
     pin: str = "localCheckpoint",
     broadcast_seen: bool = True,
+    star_edges: bool = False,
 ) -> DataFrame:
     """Incremental cross-RUN **near**-dup dedup — the fuzzy complement of
     :func:`dedup_against_history` for crawl-snapshot-at-a-time pipelines
@@ -1531,9 +1532,13 @@ def near_dedup_against_history(
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # star_edges passes straight through to the within-batch pair
+    # generator: its output feeds ONLY the clustering consumer here, so
+    # linear bucket-min edges are always sufficient (the history probe
+    # below is band-hash based and unaffected)
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        threshold=threshold, sigs=sigs,
+        threshold=threshold, sigs=sigs, star_edges=star_edges,
     )
     batch = deduplicated_corpus(df, pairs, id_col)
     banded = band_rows(sigs, num_hashes, bands)
@@ -1701,9 +1706,10 @@ def semantic_dedup_corpus(
     dim: int | None = None,
     threshold: float = 0.85,
     vec_col: str = "embedding",
-    bits: int = 4,
+    bits: int = 12,
     tables: int = 24,
     exact: bool = False,
+    star_edges: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup stage (Abbas et al. 2023): drop all
     but one document from every cluster of embedding-space near-
@@ -1748,9 +1754,17 @@ def semantic_dedup_corpus(
             if row is None:
                 return df  # no embeddings for this corpus: nothing to do
             dim = int(row["d"])
+        # bits=12 default (vs lsh_near_pairs' 4): dedup thresholds are
+        # high (0.85+), so selective buckets keep near-perfect recall —
+        # p(bit agrees) >= 0.856 at cosine 0.9 gives per-table bucket
+        # recall 0.856^12 = 0.155, 1-(1-0.155)^24 = 0.98 over 24 tables —
+        # while cutting candidate volume ~2^8x on dup-heavy corpora
+        # (candidates are all-pairs WITHIN buckets; star_edges is OFF by
+        # default because hyperplane buckets are impure — see the
+        # lsh_near_pairs docstring for the measured failure)
         pairs = ann.lsh_near_pairs(
             emb, dim=dim, threshold=threshold, bits=bits, tables=tables,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, star_edges=star_edges,
         )
     return deduplicated_corpus(df, pairs, id_col, a_col="ia", b_col="ib")
 

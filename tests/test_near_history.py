@@ -102,6 +102,33 @@ class TestNearDedupAgainstHistory:
                 bands=4, update_history=False,
             )
 
+    def test_star_edges_same_survivors(self, spark, tmp_path):
+        """star_edges changes only the within-batch pair enumeration —
+        the keep set (cluster minima + unclustered) and the committed
+        band history are identical to all-pairs mode here."""
+        rows = [
+            (1, BASE + " one"),
+            (2, BASE + " one extra words appended here to vary slightly"),
+            (3, OTHER),
+            (4, FRESH),
+        ]
+        out_a = D.near_dedup_against_history(
+            _docs(spark, rows), "doc_id", "text",
+            str(tmp_path / "nh_a"),
+        )
+        out_s = D.near_dedup_against_history(
+            _docs(spark, rows), "doc_id", "text",
+            str(tmp_path / "nh_s"), star_edges=True,
+        )
+        keep = sorted(r["doc_id"] for r in out_a.collect())
+        assert keep == sorted(r["doc_id"] for r in out_s.collect())
+        assert keep == [1, 3, 4]
+        # committed band hashes identical -> identical future probes
+        # (band/bh only: the run= partition id is per-commit metadata)
+        a = spark.read.parquet(str(tmp_path / "nh_a")).select("band", "bh")
+        s = spark.read.parquet(str(tmp_path / "nh_s")).select("band", "bh")
+        assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
+
     def test_pin_guard(self, spark, tmp_path):
         with pytest.raises(ValueError, match="pin"):
             D.near_dedup_against_history(
