@@ -3,8 +3,9 @@
 
 Cluster launch (the north-star deployment shape)::
 
-    zip -r mdqs.zip mysql_data_quality_spark
-    spark-submit --py-files mdqs.zip scripts/run_pipeline.py \
+    make zip   # deterministic dist/mysql_data_quality_spark.zip
+    spark-submit --py-files dist/mysql_data_quality_spark.zip \
+        scripts/run_pipeline.py \
         --input  /path/to/pages_parquet \
         --output /path/to/out \
         --buckets 64 --group-size 8 [--resume] [--arrow-udfs]
