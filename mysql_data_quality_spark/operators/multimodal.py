@@ -115,23 +115,43 @@ def extract_features(
     arrive as bytes objects, output must match FEATURE_SCHEMA exactly, and
     partition boundaries must not affect results (pure per-row function).
 
-    ``use_real_decode=True`` computes the feature from DECODED PIXELS
-    (:func:`real_decode` — BMP/PPM via the numpy codecs work everywhere;
-    other formats need PIL and raise :class:`DecodeUnavailable`
-    otherwise).  The default stays the deterministic byte-hash stand-in:
-    it accepts any payload, which is what the gate-row/oracle corpus
-    (opaque synthetic bytes) requires.
+    ``use_real_decode=True`` computes the feature from DECODED CONTENT,
+    dispatched per row ``kind``: image rows through :func:`real_decode`
+    (BMP/PPM via the numpy codecs work everywhere; other formats need
+    PIL), audio rows through the numpy WAV codec
+    (``functions/audioio.py``); video (and non-WAV audio) raises the
+    typed :class:`DecodeUnavailable` env gate.  The default stays the
+    deterministic byte-hash stand-in: it accepts any payload, which is
+    what the gate-row/oracle corpus (opaque synthetic bytes) requires.
     """
+
+    def _real_feature(kind: str, payload: bytes) -> list:
+        if kind == "image":
+            return _pixel_feature(real_decode(payload, None), feature_dim)
+        if kind == "audio":
+            from mysql_data_quality_spark.functions import audioio
+
+            try:
+                samples, rate = audioio.decode_wav(payload or b"")
+            except audioio.AudioFormatError as e:
+                raise DecodeUnavailable(
+                    "audio payload is not RIFF/WAVE PCM and no codec "
+                    "library is installed in this environment"
+                ) from e
+            return audioio.audio_features(samples, rate, feature_dim)
+        raise DecodeUnavailable(
+            f"no real decoder for kind={kind!r} in this environment"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             if use_real_decode:
-                feats = payloads.map(
-                    lambda b: _pixel_feature(
-                        real_decode(b, None), feature_dim
-                    )
-                )
+                feats = [
+                    _real_feature(k, b)
+                    for k, b in zip(pdf["kind"], payloads)
+                ]
+                feats = pd.Series(feats, index=pdf.index)
             else:
                 feats = payloads.map(
                     lambda b: _fake_feature(b, feature_dim)
