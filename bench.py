@@ -491,6 +491,24 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ),
     )
 
+    # DSIR data selection over the full expanded corpus: target = every
+    # 37th raw doc (in-domain sample), hashed unigram+bigram importance
+    # weights, deterministic Bernoulli keep.  Cost shape = one gram
+    # explode per side + a broadcast ratio join — decontaminate-like.
+    from mysql_data_quality_spark.operators import dsir as DSIR
+
+    def _dsir():
+        tgt = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            F.col("doc_id") % 37 == 0
+        ).select("text")
+        out = DSIR.dsir_resample(
+            pages, tgt, "url", rate=0.5, raw_sample_fraction=0.25
+        )
+        _force(out.select("url"))
+        out._persisted_weights.unpersist()
+
+    clock("dsir_resample", _dsir)
+
     # near-dup benches run on the raw documents table: the replica-expanded
     # corpus is pathologically duplicate-heavy (every doc has REPLICAS-1
     # near-copies), which measures pair-list size, not the operator.

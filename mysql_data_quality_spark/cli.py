@@ -320,6 +320,7 @@ def cmd_filter(args) -> int:
         fuzzy_sigs = None
         fp_prints = None
         mh_sigs = None
+        dsir_weights = None
         if getattr(args, "dedup", False) and not hist_dir:
             # end-to-end corpus pipeline: exact-dedup (keep smallest url
             # per normalized-text group) BEFORE the filter, so rules and
@@ -494,6 +495,26 @@ def cmd_filter(args) -> int:
                 dim=getattr(args, "semantic_dim", None),
                 threshold=sem_thr,
             )
+        dsir_tgt = getattr(args, "dsir_target", None)
+        if dsir_tgt is not None:
+            # DSIR stage (importance resampling toward an in-domain
+            # target sample): runs after the dedup family — selection
+            # over the deduped corpus, per the published recipe — and
+            # before domain admission, so site keep-rates judge the
+            # selected text.  Deterministic hash Bernoulli: resumes and
+            # replays keep identical rows.
+            from mysql_data_quality_spark.operators.dsir import (
+                dsir_resample,
+            )
+
+            pages = dsir_resample(
+                pages,
+                spark.read.parquet(dsir_tgt),
+                "url",
+                rate=getattr(args, "dsir_rate", 0.5),
+                temperature=getattr(args, "dsir_temperature", 1.0),
+            )
+            dsir_weights = pages._persisted_weights
         dom_thr = getattr(args, "domain_threshold", None)
         if dom_thr is not None:
             # whole-SITE admission (RefinedWeb "bad neighborhood" stage):
@@ -602,6 +623,10 @@ def cmd_filter(args) -> int:
             # minhash (r5 ADVICE: this path leaked the cache for the
             # lifetime of long-lived drivers reusing cmd_filter)
             mh_sigs.unpersist()
+        if dsir_weights is not None:
+            # and the DSIR weight frame (persisted so E[w] and the
+            # keep filter share one scoring pass)
+            dsir_weights.unpersist()
         print(json.dumps(stats))
         return 0
 
@@ -1084,6 +1109,29 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="embedding dimensionality (default: inferred from the "
         "first embedding row)",
+    )
+    f.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="PARQUET",
+        help="DSIR data selection: importance-resample the corpus "
+        "toward this in-domain sample (parquet with a 'text' column); "
+        "hashed unigram+bigram importance weights, deterministic "
+        "Bernoulli keep — expected keep fraction = --dsir-rate with "
+        "target-like pages oversampled",
+    )
+    f.add_argument(
+        "--dsir-rate",
+        type=float,
+        default=0.5,
+        help="target keep fraction for --dsir-target (default 0.5)",
+    )
+    f.add_argument(
+        "--dsir-temperature",
+        type=float,
+        default=1.0,
+        help="DSIR weight temperature: >1 flattens the preference, "
+        "<1 sharpens it",
     )
     f.add_argument(
         "--domain-threshold",
