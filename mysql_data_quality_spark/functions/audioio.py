@@ -53,7 +53,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         samples = (raw - 128.0) / 128.0  # 8-bit PCM is unsigned
     elif audio_fmt == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2").astype(np.float64)
-        samples = raw / 32768.0
+        # symmetric with the encoder's *32767 so encode(decode(x)) is a
+        # FIXED POINT (re-transcoding never drifts payload hashes); the
+        # one asymmetric code -32768 maps just below -1.0
+        samples = raw / 32767.0
     elif audio_fmt == 1 and bits == 32:
         raw = np.frombuffer(data, dtype="<i4").astype(np.float64)
         samples = raw / 2147483648.0
