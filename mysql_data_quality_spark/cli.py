@@ -258,11 +258,18 @@ def cmd_filter(args) -> int:
         base=profile_rules(getattr(args, "profile", "default") or "default")
     )
     with _Session(args.cores) as spark:
-        pages = (
-            spark.read.parquet(args.input)
-            if args.input
-            else P.read_pages(spark, args.documents)
-        )
+        if getattr(args, "input_warc", None):
+            # raw crawl ingestion: .warc/.warc.gz files -> pages frame
+            # (text NULL until --extract-html fills it from the html
+            # payload; the flag is auto-enabled for this source)
+            from mysql_data_quality_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input_warc)
+            args.extract_html = True
+        elif args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            pages = P.read_pages(spark, args.documents)
         blfile = getattr(args, "blocklist", None)
         if blfile:
             # URL-keyed admission control FIRST: it needs no document
@@ -930,6 +937,13 @@ def build_parser() -> argparse.ArgumentParser:
     src = f.add_mutually_exclusive_group(required=True)
     src.add_argument("--input")
     src.add_argument("--documents")
+    src.add_argument(
+        "--input-warc",
+        metavar="DIR",
+        help="ingest raw .warc/.warc.gz crawl files (ISO 28500; plain "
+        "or Common-Crawl per-record gzip members); implies "
+        "--extract-html (text comes from the response html payloads)",
+    )
     f.add_argument("--output", required=True)
     f.add_argument("--buckets", type=int, default=16)
     f.add_argument("--group-size", type=int, default=4)

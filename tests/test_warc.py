@@ -1,0 +1,134 @@
+"""WARC ingestion source (ISO 28500): writer/reader round trips over
+both layouts (plain concatenation + Common-Crawl per-record gzip
+members), HTTP payload handling (header strip, chunked decode,
+resource records), malformed-stream errors, the Spark binaryFile →
+mapInPandas source, and the CLI --input-warc end-to-end composition
+(WARC → html extraction → rules → bucketed sink)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_quality_spark.sources import warc as W
+
+DATE = "2024-01-17T08:15:30Z"
+
+
+def _html(body_text: str) -> bytes:
+    return (
+        "<html><head><title>t</title></head><body><p>"
+        + body_text
+        + "</p></body></html>"
+    ).encode()
+
+
+PAGES = [
+    ("https://a.example/x", DATE, _html("the first page body text here")),
+    ("https://b.example/y", "2024-02-01T00:00:00Z",
+     _html("the second page body text here")),
+]
+
+
+class TestPureParser:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_round_trip(self, gz):
+        blob = W.build_warc(PAGES, gzip_members=gz)
+        rows = list(W.iter_warc_pages(blob))
+        assert [r["url"] for r in rows] == [p[0] for p in PAGES]
+        assert [r["html"] for r in rows] == [p[2] for p in PAGES]
+        assert rows[0]["warc_ts"].isoformat() == "2024-01-17T08:15:30"
+        assert all(r["text"] is None and r["lang"] is None for r in rows)
+
+    def test_non_response_records_skipped(self):
+        blob = W.build_warc(PAGES)
+        # splice in a warcinfo record
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+        )
+        rows = list(W.iter_warc_pages(info + blob))
+        assert len(rows) == len(PAGES)
+
+    def test_chunked_transfer_decoded(self):
+        body = b"hello world"
+        http = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://c.example/z\r\n"
+            b"WARC-Date: " + DATE.encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        rows = list(W.iter_warc_pages(rec))
+        assert rows[0]["html"] == body
+
+    def test_resource_record_raw_payload(self):
+        doc = b"<html>raw resource</html>"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: https://d.example/r\r\n"
+            b"WARC-Date: " + DATE.encode() + b"\r\n"
+            b"Content-Length: " + str(len(doc)).encode() + b"\r\n\r\n"
+            + doc + b"\r\n\r\n"
+        )
+        rows = list(W.iter_warc_pages(rec, record_types=("resource",)))
+        assert rows[0]["html"] == doc
+
+    def test_garbage_raises(self):
+        with pytest.raises(W.WarcFormatError, match="version line"):
+            list(W.iter_warc_pages(b"NOT A WARC AT ALL"))
+        with pytest.raises(W.WarcFormatError, match="truncated"):
+            blob = W.build_warc(PAGES)[:-30]
+            list(W.iter_warc_pages(blob))
+        with pytest.raises(W.WarcFormatError, match="gzip"):
+            list(W.iter_warc_pages(b"\x1f\x8bnot really gzip data"))
+
+
+class TestSparkSource:
+    def test_read_both_layouts(self, spark, tmp_path):
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "a.warc").write_bytes(W.build_warc(PAGES[:1]))
+        (d / "b.warc.gz").write_bytes(
+            W.build_warc(PAGES[1:], gzip_members=True)
+        )
+        (d / "ignored.txt").write_bytes(b"not a warc")
+        df = W.read_warc(spark, str(d))
+        rows = {r["url"]: r for r in df.collect()}
+        assert set(rows) == {p[0] for p in PAGES}
+        assert bytes(rows[PAGES[0][0]]["html"]) == PAGES[0][2]
+        assert rows[PAGES[1][0]]["warc_ts"].year == 2024
+        assert df.schema == W.PAGES_SCHEMA
+
+    def test_cli_end_to_end(self, spark, tmp_path, monkeypatch):
+        from mysql_data_quality_spark import cli
+        from tests.test_domains import GOOD
+
+        monkeypatch.chdir(tmp_path)
+        d = tmp_path / "warcs"
+        d.mkdir()
+        pages = [
+            (f"https://site{i}.example/p", DATE, _html(GOOD + f" v{i}"))
+            for i in range(6)
+        ]
+        (d / "crawl.warc.gz").write_bytes(
+            W.build_warc(pages, gzip_members=True)
+        )
+        out = str(tmp_path / "out")
+        rc = cli.main(
+            ["filter", "--input-warc", str(d), "--output", out,
+             "--buckets", "2"]
+        )
+        assert rc == 0
+        dec = spark.read.parquet(f"{out}/data")
+        assert dec.count() == 6
+        # extraction ran: scrubbed text contains the body words
+        got = dec.orderBy("url").collect()[0]
+        assert "data table" in got["scrubbed_text"]
+        assert got["keep"] is True
