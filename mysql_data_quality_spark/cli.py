@@ -296,6 +296,20 @@ def cmd_filter(args) -> int:
             # WARC-payload ingest: fill missing text from the raw html
             # (pure-Column extraction; rows with text keep it byte-identical)
             pages = P.pages_with_extracted_text(pages)
+        if getattr(args, "fix_mojibake", False):
+            # encoding repair BEFORE Unicode normalization: mojibake is
+            # a byte-level failure (utf-8 read as cp1252), normalization
+            # a codepoint-level one — fixing in the other order bakes
+            # the wrong codepoints in
+            from pyspark.sql import functions as F  # noqa: N812
+
+            from mysql_data_quality_spark.functions.normalize import (
+                fix_mojibake_col,
+            )
+
+            pages = pages.withColumn(
+                "text", fix_mojibake_col(F.col("text"))
+            )
         norm = getattr(args, "normalize_text", None)
         if norm:
             # Unicode cleanup BEFORE any dedup/decontamination stage, so
@@ -1031,6 +1045,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop pages whose host is (or is under) a blocked domain "
         "before any other stage: UT1-style text file (one domain per "
         "line, # comments) or parquet with a 'domain' column",
+    )
+    f.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="repair utf-8-read-as-cp1252 mojibake ('Ã©' -> 'é', up to "
+        "two nested layers) before normalization; a repair is applied "
+        "only when the byte round-trip is a perfect inverse, so clean "
+        "text is never altered",
     )
     f.add_argument(
         "--normalize-text",

@@ -122,3 +122,89 @@ def normalize_corpus_sql(
         f"select * replace ({normalized_text_sql(text_col)} as "
         f"{text_col}) from {rel}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (the ftfy-style double-encoding fix every web-text
+# pipeline runs; original implementation from the public failure model)
+# ---------------------------------------------------------------------------
+#: bytes that only appear in text DECODED WITH THE WRONG CODEC: UTF-8
+#: lead/continuation bytes rendered as cp1252/latin-1 characters.  A
+#: string with none of these is returned untouched (the overwhelmingly
+#: common case — one frozenset probe per char, no re-encode).
+_MOJIBAKE_HINTS = frozenset(
+    "Ã¢â€šÂ¬Å¡Æ'Ä‹ÅĞİŞ" + "".join(chr(c) for c in range(0x80, 0xA0))
+)
+
+
+def fix_mojibake_text(t: str, max_rounds: int = 2) -> str:
+    """Undo UTF-8-read-as-cp1252/latin-1 mojibake ("Ã©" -> "é",
+    "â€™" -> "’"), up to ``max_rounds`` nested layers.
+
+    Failure model: correct UTF-8 bytes were decoded with a single-byte
+    codec, so every multi-byte character surfaced as 2-4 single-byte
+    characters.  The inverse — re-encode with that codec, decode as
+    UTF-8 — is attempted per round and kept ONLY when it round-trips
+    exactly (strict decode succeeds and the repaired string is
+    shorter); anything else returns the input unchanged, so legitimate
+    text containing "Ã" sequences cannot be corrupted into the wrong
+    repair (the operation is applied only when it is a perfect
+    inverse).  cp1252 is tried before latin-1 (the web's de-facto
+    single-byte codec; latin-1 catches the 0x80-0x9F gap cp1252 leaves
+    undefined)."""
+    if not isinstance(t, str):
+        return t
+    for _ in range(max_rounds):
+        if not any(c in _MOJIBAKE_HINTS for c in t):
+            return t
+        repaired = None
+        for enc in (_encode_sloppy_cp1252, _encode_latin1):
+            try:
+                candidate = enc(t).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(candidate) < len(t):
+                repaired = candidate
+                break
+        if repaired is None:
+            return t
+        t = repaired
+    return t
+
+
+#: cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined, but WHATWG
+#: windows-1252 (what browsers and hence real mojibake use) passes them
+#: through as the C1 controls — 'â€\\x9d' for a right quote is the
+#: canonical example.  The sloppy encoder mirrors that (ftfy's
+#: "sloppy-windows-1252" idea, reimplemented).
+_C1_PASSTHROUGH = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+
+
+def _encode_sloppy_cp1252(t: str) -> bytes:
+    try:
+        return t.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in t:
+            o = ord(ch)
+            if o in _C1_PASSTHROUGH:
+                out.append(o)
+            else:
+                out.extend(ch.encode("cp1252"))  # may raise -> caller
+        return bytes(out)
+
+
+def _encode_latin1(t: str) -> bytes:
+    return t.encode("latin-1")
+
+
+def fix_mojibake_col(text: Column) -> Column:
+    """Arrow-batched mojibake repair column (no SQL twin: the
+    encode/decode round-trip test has no DuckDB analogue — parity is
+    pinned by a generated two-engine-free fuzz suite instead)."""
+
+    @pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(fix_mojibake_text, na_action=None)
+
+    return _fix(text)
