@@ -36,6 +36,9 @@ def main() -> None:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
     src.add_argument("--documents", help="documents sf dir -> synthesize pages")
+    src.add_argument("--input-warc",
+                     help="raw .warc/.warc.gz crawl files (batch only; "
+                     "text extracted from the response html payloads)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--group-size", type=int, default=8)
@@ -114,7 +117,14 @@ def main() -> None:
                 "batches": n_batches,
             }))
             return
-        if args.input:
+        if getattr(args, "input_warc", None):
+            # raw crawl ingestion: text filled from the html payloads
+            from mysql_data_quality_spark.sources.warc import read_warc
+
+            pages = P.pages_with_extracted_text(
+                read_warc(spark, args.input_warc)
+            )
+        elif args.input:
             pages = spark.read.parquet(args.input)
         else:
             pages = P.read_pages(spark, args.documents)

@@ -106,6 +106,37 @@ class TestSparkSource:
         assert rows[PAGES[1][0]]["warc_ts"].year == 2024
         assert df.schema == W.PAGES_SCHEMA
 
+    def test_launcher_end_to_end(self, spark, tmp_path, monkeypatch):
+        """scripts/run_pipeline.py --input-warc (the spark-submit
+        launcher shape) ingests and writes the same composed output.
+        Subprocess: the launcher owns (and stops) its SparkSession, so
+        running it in-process would kill the shared test session."""
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        from tests.test_domains import GOOD
+
+        monkeypatch.chdir(tmp_path)
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "a.warc").write_bytes(
+            W.build_warc(
+                [(f"https://rp{i}.example/p", DATE, _html(GOOD + f" v{i}"))
+                 for i in range(4)]
+            )
+        )
+        out = str(tmp_path / "out")
+        repo = Path(__file__).resolve().parent.parent
+        r = subprocess.run(
+            [_sys.executable, str(repo / "scripts" / "run_pipeline.py"),
+             "--input-warc", str(d), "--output", out,
+             "--buckets", "2", "--cores", "4"],
+            capture_output=True, text=True, timeout=300, cwd=str(repo),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert spark.read.parquet(f"{out}/data").count() == 4
+
     def test_cli_end_to_end(self, spark, tmp_path, monkeypatch):
         from mysql_data_quality_spark import cli
         from tests.test_domains import GOOD
