@@ -8,6 +8,11 @@ PIL/ffmpeg.  Formats implemented from their public specifications:
     https://netpbm.sourceforge.net/doc/ppm.html
   * BMP (BITMAPINFOHEADER, BI_RGB uncompressed 24/32-bit) —
     the Windows bitmap layout as documented publicly.
+  * PNG (W3C PNG spec / RFC 2083: 8-bit gray / RGB / palette /
+    gray+alpha / RGBA, all five scanline filters, CRC-verified chunks;
+    DEFLATE via the stdlib ``zlib``) — the dominant real web image
+    format, so the real-decode path now covers actual crawl payloads,
+    not just the test-friendly uncompressed layouts.
 
 All functions are deterministic; resize is nearest-neighbor with the
 half-pixel center convention (pure index math, no float filtering — the
@@ -17,12 +22,13 @@ resized-hash consumers rely on)."""
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 
 class ImageFormatError(ValueError):
-    """Payload is not a supported BMP/PPM byte stream."""
+    """Payload is not a supported BMP/PPM/PNG byte stream."""
 
 
 # ---------------------------------------------------------------------------
@@ -148,22 +154,195 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (W3C spec / RFC 2083; 8-bit depth, non-interlaced)
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (bit depth 8 => bytes per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield ``(type, data)`` pairs, CRC-verified, stopping at IEND."""
+    pos, n = len(_PNG_SIG), len(payload)
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ImageFormatError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ImageFormatError(f"PNG CRC mismatch in {ctype!r}")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ImageFormatError("PNG stream ended before IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Invert the five per-scanline filters -> (h, w*ch) uint8.
+
+    Sub is a per-channel running sum, so it vectorizes as a cumsum;
+    Up is a plain wrapping add of the prior row; Average and Paeth
+    depend on the just-reconstructed LEFT pixel, so those rows walk
+    pixel-by-pixel (numpy over the channel axis per step) — fine for
+    the bounded thumbnails the multimodal stage handles per row."""
+    stride = w * ch
+    rows = np.frombuffer(raw, dtype=np.uint8)
+    if rows.size != h * (stride + 1):
+        raise ImageFormatError(
+            f"PNG raster is {rows.size} bytes, expected {h * (stride + 1)}"
+        )
+    rows = rows.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:]
+        if ftype == 0:  # None
+            rec = cur.copy()
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = (
+                np.cumsum(cur.reshape(w, ch).astype(np.int64), axis=0)
+                & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            rec = cur + prev
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent
+            rp = cur.reshape(w, ch).astype(np.int64)
+            up = prev.reshape(w, ch).astype(np.int64)
+            rec2 = np.empty((w, ch), dtype=np.uint8)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)  # upper-left (Paeth c)
+            for x in range(w):
+                if ftype == 3:
+                    pred = (left + up[x]) >> 1
+                else:
+                    p = left + up[x] - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up[x])
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up[x], ul),
+                    )
+                left = (rp[x] + pred) & 0xFF
+                ul = up[x]
+                rec2[x] = left
+            rec = rec2.reshape(stride)
+        else:
+            raise ImageFormatError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 HxWx3 (alpha dropped, gray
+    expanded, palette resolved)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ImageFormatError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or len(ihdr) != 13:
+        raise ImageFormatError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if w == 0 or h == 0:
+        raise ImageFormatError(f"bad PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise ImageFormatError(f"unsupported PNG bit depth {depth}")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ImageFormatError(f"unsupported PNG color type {ctype_n}")
+    if comp != 0 or filt != 0:
+        raise ImageFormatError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ImageFormatError("interlaced (Adam7) PNG not supported")
+    if not idat:
+        raise ImageFormatError("PNG missing IDAT")
+    try:
+        raster = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = _PNG_CHANNELS[ctype_n]
+    px = _png_unfilter(raster, h, w, ch).reshape(h, w, ch)
+    if ctype_n == 2:  # RGB
+        return px
+    if ctype_n == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype_n == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None or len(plte) % 3:
+        raise ImageFormatError("palette PNG missing a valid PLTE")
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= table.shape[0]:
+        raise ImageFormatError("PNG palette index out of range")
+    return table[idx]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 -> 8-bit truecolor PNG (filter 0 scanlines, fixed
+    deflate level — deterministic for a given zlib build)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ImageFormatError(f"expected HxWx3 array, got {a.shape}")
+    h, w, _ = a.shape
+    raster = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raster[:, 0] = 0  # filter type None on every scanline
+    raster[:, 1:] = a.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raster.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # decode dispatch + resize
 # ---------------------------------------------------------------------------
 def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     """Dispatch on mime when given, else sniff the magic bytes."""
+    if mime == "image/png":
+        return decode_png(payload)
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return decode_bmp(payload)
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap",
                 "image/ppm"):
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     raise ImageFormatError(
         f"unsupported image payload (mime={mime!r}, "
-        f"magic={payload[:2]!r}); numpy codecs cover BMP and PPM"
+        f"magic={payload[:2]!r}); numpy codecs cover PNG, BMP and PPM"
     )
 
 

@@ -38,6 +38,12 @@ class TestImageProperties:
         assert (IIO.decode_bmp(IIO.encode_bmp(a)) == a).all()
 
     @settings(max_examples=40, deadline=None)
+    @given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+    def test_png_round_trip(self, h, w, seed):
+        a = _img(h, w, seed)
+        assert (IIO.decode_png(IIO.encode_png(a)) == a).all()
+
+    @settings(max_examples=40, deadline=None)
     @given(h=dims, w=dims, th=dims, tw=dims, seed=st.integers(0, 2**31 - 1))
     def test_resize_shape_and_membership(self, h, w, th, tw, seed):
         a = _img(h, w, seed)

@@ -1,4 +1,4 @@
-"""Pure-numpy BMP/PPM codecs + the REAL multimodal decode path they
+"""Pure-numpy PNG/BMP/PPM codecs + the REAL multimodal decode path they
 unlock (r5 verdict ask #7): byte-exact round trips, format quirks
 (BMP row padding, bottom-up vs top-down, 32-bit alpha, PPM comments,
 P5 grayscale expansion), deterministic nearest resize, and the Spark
@@ -86,6 +86,146 @@ class TestBmp:
             IIO.decode_bmp(bytes(raw))
 
 
+def _png_forward_filter(a: np.ndarray, ftypes) -> bytes:
+    """Independent reference implementation of PNG's FORWARD scanline
+    filters (spec §6) — the test builds filtered rasters with this and
+    the decoder must invert them."""
+    h, w, ch = a.shape
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, ft in zip(range(h), ftypes):
+        cur = a[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ft == 0:
+            flt = cur
+        elif ft == 1:
+            flt = cur - left
+        elif ft == 2:
+            flt = cur - prev
+        elif ft == 3:
+            flt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, ul),
+            )
+            flt = cur - pred
+        out.append(ft)
+        out += bytes((flt & 0xFF).astype(np.uint8))
+        prev = cur
+    return bytes(out)
+
+
+def _png_manual(w, h, ctype, raster, plte=None, depth=8, interlace=0):
+    """Assemble a PNG from parts (valid CRCs) for decoder tests."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    blob = IIO._PNG_SIG + IIO._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += IIO._png_chunk(b"PLTE", plte)
+    blob += IIO._png_chunk(b"IDAT", zlib.compress(raster, 6))
+    return blob + IIO._png_chunk(b"IEND", b"")
+
+
+class TestPng:
+    def test_round_trip(self):
+        a = _grad(6, 5)
+        assert (IIO.decode_png(IIO.encode_png(a)) == a).all()
+
+    def test_all_five_filters_inverted(self):
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        raster = _png_forward_filter(a, [0, 1, 2, 3, 4, 4])
+        blob = _png_manual(9, 6, 2, raster)
+        assert (IIO.decode_png(blob) == a).all()
+
+    def test_grayscale_expands(self):
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        raster = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+        out = IIO.decode_png(_png_manual(4, 3, 0, raster))
+        assert out.shape == (3, 4, 3)
+        assert (out == g[:, :, None]).all()
+
+    def test_palette_resolved(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+        idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        out = IIO.decode_png(_png_manual(2, 2, 3, raster, plte=plte))
+        assert (out[0, 0] == [255, 0, 0]).all()
+        assert (out[0, 1] == [0, 255, 0]).all()
+        assert (out[1, 0] == [0, 0, 255]).all()
+
+    def test_palette_index_out_of_range_raises(self):
+        plte = bytes([255, 0, 0])
+        raster = b"\x00\x05"  # index 5, palette has 1 entry
+        with pytest.raises(IIO.ImageFormatError, match="palette index"):
+            IIO.decode_png(_png_manual(1, 1, 3, raster, plte=plte))
+
+    def test_rgba_alpha_dropped(self):
+        a = _grad(2, 3)
+        rgba = np.dstack([a, np.full((2, 3), 9, np.uint8)])
+        raster = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+        assert (IIO.decode_png(_png_manual(3, 2, 6, raster)) == a).all()
+
+    def test_gray_alpha(self):
+        g = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+        ga = np.dstack([g, np.full((2, 2), 128, np.uint8)])
+        raster = b"".join(b"\x00" + ga[y].tobytes() for y in range(2))
+        out = IIO.decode_png(_png_manual(2, 2, 4, raster))
+        assert (out == g[:, :, None]).all()
+
+    def test_multiple_idat_chunks_concatenate(self):
+        import struct
+        import zlib
+
+        a = _grad(4, 4)
+        raster = _png_forward_filter(a, [0, 0, 0, 0])
+        comp = zlib.compress(raster, 6)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        blob = (
+            IIO._PNG_SIG
+            + IIO._png_chunk(b"IHDR", ihdr)
+            + IIO._png_chunk(b"IDAT", comp[:5])
+            + IIO._png_chunk(b"IDAT", comp[5:])
+            + IIO._png_chunk(b"IEND", b"")
+        )
+        assert (IIO.decode_png(blob) == a).all()
+
+    def test_crc_corruption_raises(self):
+        blob = bytearray(IIO.encode_png(_grad(2, 2)))
+        blob[20] ^= 0xFF  # inside IHDR data
+        with pytest.raises(IIO.ImageFormatError, match="CRC"):
+            IIO.decode_png(bytes(blob))
+
+    def test_interlaced_rejected(self):
+        raster = b"\x00" + b"\x00" * 3
+        with pytest.raises(IIO.ImageFormatError, match="interlaced"):
+            IIO.decode_png(_png_manual(1, 1, 2, raster, interlace=1))
+
+    def test_16bit_rejected(self):
+        raster = b"\x00" + b"\x00" * 6
+        with pytest.raises(IIO.ImageFormatError, match="bit depth"):
+            IIO.decode_png(_png_manual(1, 1, 2, raster, depth=16))
+
+    def test_truncated_stream_raises(self):
+        blob = IIO.encode_png(_grad(2, 2))
+        with pytest.raises(IIO.ImageFormatError):
+            IIO.decode_png(blob[:30])
+
+    def test_dispatch_sniffs_and_mime(self):
+        a = _grad(3, 3)
+        blob = IIO.encode_png(a)
+        assert (IIO.decode_image(blob) == a).all()
+        assert (IIO.decode_image(blob, "image/png") == a).all()
+        assert (MM.real_decode(blob, "image/png") == a).all()
+
+
 class TestResize:
     def test_nearest_indices(self):
         a = _grad(4, 4)
@@ -106,7 +246,8 @@ class TestRealDecodeDispatch:
         assert (MM.real_decode(IIO.encode_bmp(a), None) == a).all()
 
     def test_unknown_format_env_gated(self):
-        png_magic = b"\x89PNG\r\n\x1a\n" + b"\0" * 64
+        # JPEG: a real format the numpy codecs deliberately don't cover
+        jpeg_magic = b"\xff\xd8\xff\xe0" + b"\0" * 64
         try:
             import PIL  # noqa: F401
 
@@ -114,7 +255,19 @@ class TestRealDecodeDispatch:
         except ImportError:
             pass
         with pytest.raises(MM.DecodeUnavailable):
-            MM.real_decode(png_magic, "image/png")
+            MM.real_decode(jpeg_magic, "image/jpeg")
+
+    def test_corrupt_png_env_gated_not_crash(self):
+        """Valid magic + garbage body: ImageFormatError inside the codec
+        must surface as the typed env gate, not an unhandled exception."""
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL present")
+        except ImportError:
+            pass
+        with pytest.raises(MM.DecodeUnavailable):
+            MM.real_decode(b"\x89PNG\r\n\x1a\n" + b"\0" * 64, "image/png")
 
 
 class TestSparkRealPaths:
@@ -166,6 +319,26 @@ class TestSparkRealPaths:
             df.repartition(5), use_real_decode=True
         ).toPandas().sort_values("media_id").reset_index(drop=True)
         assert one.equals(many)
+
+    def test_extract_features_real_png(self, spark):
+        """The real-decode path on actual DEFLATE-compressed PNG bytes —
+        the payload shape a Common-Crawl media column actually holds."""
+        arrays = [_grad(6, 5), _grad(3, 7)]
+        rows = [
+            (f"p{i}", "image", IIO.encode_png(a), "image/png",
+             None, None, None)
+            for i, a in enumerate(arrays)
+        ]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        got = {
+            r["media_id"]: r["feature"]
+            for r in MM.extract_features(
+                df, feature_dim=8, use_real_decode=True
+            ).collect()
+        }
+        for i, a in enumerate(arrays):
+            want = MM._pixel_feature(a, 8)
+            assert got[f"p{i}"] == pytest.approx(want, abs=1e-6)
 
     def test_default_fake_path_unchanged(self, spark):
         """The media_features gate row runs the DEFAULT path on opaque
