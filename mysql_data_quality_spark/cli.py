@@ -578,7 +578,14 @@ def cmd_filter(args) -> int:
             from mysql_data_quality_spark.rules.arpa import parse_arpa_file
 
             lm = parse_arpa_file(args.arpa_model)
-        ann = QF.annotate(pages, rules=rules, lm=lm)
+        li_model = None
+        if getattr(args, "langid_model", None):
+            from mysql_data_quality_spark.rules.langid_trained import (
+                load_model,
+            )
+
+            li_model = load_model(args.langid_model)
+        ann = QF.annotate(pages, rules=rules, lm=lm, langid_model=li_model)
         observed, obs = QF.observe_metrics(ann, rules=rules)
         dec = observed.select(*QF.DECISION_COLS)
         writer = CheckpointedWriter(args.output, n_buckets=args.buckets)
@@ -851,6 +858,38 @@ def cmd_corpus_stats(args) -> int:
         return 0
 
 
+def cmd_distill_langid(args) -> int:
+    """Distill the marker-lexicon language detector into a trained
+    fastText-style model (rules/langid_trained.py): hashed byte 1-3-gram
+    features through MLlib multinomial LR, weights to JSON — inference
+    is one numpy matmul per Arrow batch, no MLlib."""
+    from mysql_data_quality_spark.pipeline import pages as P
+    from mysql_data_quality_spark.rules.langid_trained import train_langid
+
+    with _Session(args.cores) as spark:
+        pages = (
+            spark.read.parquet(args.input)
+            if args.input
+            else P.read_pages(spark, args.documents)
+        )
+        model = train_langid(
+            pages, dim=args.dim, max_rows=args.max_rows
+        )
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(model, sort_keys=True))
+        print(
+            json.dumps(
+                {
+                    "weights_file": str(out),
+                    "dim": model["dim"],
+                    "labels": model["labels"],
+                }
+            )
+        )
+        return 0
+
+
 def cmd_distill(args) -> int:
     """Distill the rule registry into a logistic-regression quality
     classifier: train on the engine's own keep/drop verdicts over the
@@ -997,6 +1036,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="score perplexity with a real ARPA n-gram model (KenLM "
         "format) instead of the built-in unigram stand-in; tune "
         "DQS_RULE_MIN_AVG_LOGP to the model's scale",
+    )
+    f.add_argument(
+        "--langid-model",
+        default=None,
+        metavar="PATH",
+        help="detect language with a trained fastText-style model "
+        "(weights JSON from 'distill-langid') instead of the built-in "
+        "marker lexicon",
     )
     f.add_argument(
         "--profile",
@@ -1274,6 +1321,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="rule profile supplying the training labels",
     )
     di.set_defaults(fn=cmd_distill)
+
+    dl = sub.add_parser(
+        "distill-langid",
+        help="train a fastText-style language-ID model (hashed char "
+        "n-grams -> multinomial LR) distilled from the marker-lexicon "
+        "detector and write its weights JSON",
+    )
+    dlsrc = dl.add_mutually_exclusive_group(required=True)
+    dlsrc.add_argument("--input")
+    dlsrc.add_argument("--documents")
+    dl.add_argument("--output", required=True, help="weights JSON path")
+    dl.add_argument(
+        "--dim", type=int, default=2048,
+        help="hashed feature dimension (default 2048)",
+    )
+    dl.add_argument(
+        "--max-rows", type=int, default=200_000,
+        help="training-set cap (deterministic hash sample above this)",
+    )
+    dl.set_defaults(fn=cmd_distill_langid)
     return ap
 
 

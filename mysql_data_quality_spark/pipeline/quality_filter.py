@@ -40,6 +40,7 @@ def annotate(
     use_arrow_udfs: bool = False,
     rules: tuple | None = None,
     lm=None,
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """pages -> pages + features + hit_<rule> columns + keep/drop/scrub.
 
@@ -56,6 +57,12 @@ def annotate(
     deterministic unigram stand-in graduates to trained weights.  The
     perplexity rule's threshold then applies to the model's mean ln-prob
     (tune ``DQS_RULE_MIN_AVG_LOGP`` to the model's scale).
+
+    ``langid_model`` is the same hook for language ID: a trained
+    fastText-style weights dict (``rules/langid_trained.py``) whose
+    Arrow-batched linear scorer replaces ``det_lang`` — opt-in, since
+    the hashed feature space has no SQL oracle twin (the default
+    lexicon detector remains the gate-checked path).
     """
     df = heuristics.with_features(pages, text_col)
     if use_arrow_udfs:
@@ -64,6 +71,15 @@ def annotate(
                 "det_lang": langid.detect_pandas_udf()(F.col(text_col)),
                 "avg_logp": perplexity.avg_logprob_pandas_udf()(F.col(text_col)),
             }
+        )
+    if langid_model is not None:
+        from mysql_data_quality_spark.rules import langid_trained
+
+        df = df.withColumn(
+            "det_lang",
+            langid_trained.detect_trained_udf(langid_model)(
+                F.col(text_col)
+            ),
         )
     if lm is not None:
         from mysql_data_quality_spark.rules import arpa
@@ -115,12 +131,18 @@ DECISION_COLS = ("url", "keep", "drop_reason", "scrubbed_text")
 
 
 def decisions(
-    pages: DataFrame, use_arrow_udfs: bool = False, rules: tuple | None = None
+    pages: DataFrame,
+    use_arrow_udfs: bool = False,
+    rules: tuple | None = None,
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """The per-document output contract: url -> keep/drop + scrubbed text."""
-    return annotate(pages, use_arrow_udfs=use_arrow_udfs, rules=rules).select(
-        *DECISION_COLS
-    )
+    return annotate(
+        pages,
+        use_arrow_udfs=use_arrow_udfs,
+        rules=rules,
+        langid_model=langid_model,
+    ).select(*DECISION_COLS)
 
 
 # ---------------------------------------------------------------------------
