@@ -137,6 +137,28 @@ def _bench_arpa_model():
     return parse_arpa("\n".join(lines))
 
 
+def _bench_langid_model(spark):
+    """Train the fastText-style langid model on a deterministic synthetic
+    multilingual corpus (the bench documents table is effectively
+    monolingual, which the trainer correctly rejects); returns the
+    weights dict whose SCORING path — the part that scales with the
+    corpus — is what the bench line times."""
+    from mysql_data_quality_spark.rules.langid import LANG_MARKERS
+    from mysql_data_quality_spark.rules.langid_trained import train_langid
+
+    filler = ["data", "web", "2024", "info", "item"]
+    rows, i = [], 0
+    for lang, words in LANG_MARKERS.items():
+        for k in range(200):
+            toks = [words[(k + j) % len(words)] for j in range(6)]
+            toks += [filler[(k + j) % len(filler)] for j in range(3)]
+            r = k % 4
+            rows.append((f"u{i}", " ".join(toks[r:] + toks[:r]), lang))
+            i += 1
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    return train_langid(df, dim=2048, max_iter=60)
+
+
 def _bench_stream_filter(spark, pages) -> tuple[float, int]:
     """Deliver the bench corpus as parquet file drops and run the
     availableNow streaming filter (maxFilesPerTrigger=4 -> multiple
@@ -285,6 +307,21 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
         lambda: _force(
             QF.annotate(pages, lm=lm).select(*QF.DECISION_COLS)
         ),
+    )
+
+    # trained-langid scoring path (--langid-model): det_lang through the
+    # hashed-char-n-gram linear model — one bincount + X@W.T matmul per
+    # Arrow batch (rules/langid_trained.py).  Training (bounded, synthetic
+    # multilingual corpus) is clocked separately from the scoring pass.
+    li_model = {}
+
+    def _fit_langid():
+        li_model.update(_bench_langid_model(spark))
+
+    clock("langid_distill", _fit_langid)
+    clock(
+        "qf_pipeline_langid_model",
+        lambda: _force(QF.decisions(pages, langid_model=li_model)),
     )
 
     # streaming delivery of the same corpus (availableNow, file drops)
