@@ -75,6 +75,9 @@ def main() -> None:
                     help="drop WHOLE domains whose keep-rate under the "
                     "rule registry is below RATE (batch only)")
     ap.add_argument("--domain-min-docs", type=int, default=5)
+    ap.add_argument("--langid-model", default=None, metavar="PATH",
+                    help="trained fastText-style langid weights JSON "
+                    "(cli distill-langid) replacing the marker lexicon")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if args.stream and not (args.input and args.checkpoint):
@@ -177,7 +180,16 @@ def main() -> None:
                 pages, args.domain_threshold,
                 min_docs=args.domain_min_docs,
             )
-        ann = QF.annotate(pages, use_arrow_udfs=args.arrow_udfs)
+        li_model = None
+        if args.langid_model:
+            from mysql_data_quality_spark.rules.langid_trained import (
+                load_model,
+            )
+
+            li_model = load_model(args.langid_model)
+        ann = QF.annotate(
+            pages, use_arrow_udfs=args.arrow_udfs, langid_model=li_model
+        )
         # rule-hit metrics ride the write pass via observe() — no second
         # pipeline execution (quality_filter.observe_metrics)
         observed, obs = QF.observe_metrics(ann)
