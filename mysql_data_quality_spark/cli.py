@@ -228,6 +228,15 @@ def cmd_filter(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "history_bloom", False) and not getattr(
+        args, "dedup_history", None
+    ):
+        print(
+            "error: --history-bloom requires --dedup-history (it "
+            "prefilters that stage's history scan)",
+            file=sys.stderr,
+        )
+        return 2
     fuzzy_thr = getattr(args, "decontaminate_fuzzy", None)
     if fuzzy_thr is not None and not getattr(args, "decontaminate", None):
         # a data-hygiene flag must never be a silent no-op: the fuzzy
@@ -370,6 +379,11 @@ def cmd_filter(args) -> int:
                 pages, "url", "text", hist_dir,
                 update_history=False, keep_hash_col=True,
                 keep=keep, ts_col=keep_ts,
+                history_prefilter=(
+                    "bloom"
+                    if getattr(args, "history_bloom", False)
+                    else "none"
+                ),
             )
             # the PINNED probe result is what commit_history records
             # after the write — capture it before later stages (decon/
@@ -1036,6 +1050,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="score perplexity with a real ARPA n-gram model (KenLM "
         "format) instead of the built-in unigram stand-in; tune "
         "DQS_RULE_MIN_AVG_LOGP to the model's scale",
+    )
+    f.add_argument(
+        "--history-bloom",
+        action="store_true",
+        help="with --dedup-history: broadcast a bloom of this batch's "
+        "hashes to prefilter the history scan map-side before the "
+        "anti join (exact results; shuffle drops from O(history) to "
+        "O(matches + fpp*history) — for histories much larger than "
+        "the batch)",
     )
     f.add_argument(
         "--langid-model",

@@ -24,6 +24,7 @@ bit math included); Python never touches a row.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1274,6 +1275,101 @@ def _commit_history_run(
         )
 
 
+def _bloom_hash_cols(md5_col: Column) -> tuple[Column, Column]:
+    """Two independent ~60-bit hashes straight off the hex ``text_md5``
+    (chars 1-15 and 17-31 -> base-10 longs, JVM-side `conv`) — the
+    double-hashing inputs for the batch bloom.  Builder and prober both
+    use THESE columns, so positions agree by construction."""
+    h1 = F.conv(F.substring(md5_col, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5_col, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def build_batch_bloom(
+    hashed: DataFrame,
+    n_items: int,
+    fpp: float = 0.01,
+    max_bits: int = 2 ** 28,
+) -> tuple[bytes, int, int] | None:
+    """Bloom bitset over the batch's ``text_md5`` values -> (bits, m, k).
+
+    Built distributed: one numpy bitset per partition via
+    ``mapInPandas`` (vectorized ``bitwise_or.at`` insertion, no per-row
+    Python), OR-folded with a depth-2 ``treeReduce`` so the driver
+    receives O(sqrt(P)) bitsets, not P.  ``m`` is a power of two sized
+    for ``fpp`` and capped at ``max_bits`` — an undersized bloom only
+    RAISES the false-positive rate (more history rows survive the
+    prefilter), never drops a true match, so saturation degrades to the
+    plain anti join instead of corrupting results.  Returns None for an
+    empty batch (nothing to probe)."""
+    import math
+
+    import numpy as np
+
+    if n_items <= 0:
+        return None
+    m = int(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    m = 1 << max(10, (m - 1).bit_length())  # power of two, >= 1 KiB
+    m = min(m, max_bits)
+    k = max(1, min(8, round(m / n_items * math.log(2))))
+    nbytes = m // 8
+    h1c, h2c = _bloom_hash_cols(F.col("text_md5"))
+    rows = hashed.select(h1c.alias("h1"), h2c.alias("h2"))
+
+    def _build(batches):
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        mu = np.uint64(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            H1 = pdf["h1"].to_numpy(np.uint64) % mu
+            H2 = (pdf["h2"].to_numpy(np.uint64) | np.uint64(1)) % mu
+            for i in range(k):
+                pos = (H1 + np.uint64(i) * H2) % mu
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = rows.mapInPandas(_build, "bits binary").rdd.map(
+        lambda r: r["bits"]
+    )
+    agg = parts.treeReduce(
+        lambda a, b: (
+            np.frombuffer(a, np.uint8) | np.frombuffer(b, np.uint8)
+        ).tobytes(),
+        depth=2,
+    )
+    return agg, m, k
+
+
+def _bloom_membership_udf(spark, bits: bytes, m: int, k: int):
+    """Arrow-batched membership test against a broadcast bitset:
+    (h1, h2) -> might-contain boolean, one numpy gather per hash."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        mu = np.uint64(m)
+        H1 = h1.to_numpy(np.uint64) % mu
+        H2 = (h2.to_numpy(np.uint64) | np.uint64(1)) % mu
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (H1 + np.uint64(i) * H2) % mu
+            byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    return might
+
+
 def dedup_against_history(
     df: DataFrame,
     id_col: str,
@@ -1285,6 +1381,9 @@ def dedup_against_history(
     keep_hash_col: bool = False,
     keep: str = "min_id",
     ts_col: str | None = None,
+    history_prefilter: str = "none",
+    bloom_fpp: float = 0.01,
+    bloom_max_bits: int = 2 ** 28,
 ) -> DataFrame:
     """Incremental cross-RUN exact dedup: drop documents whose
     (normalized) text hash was seen in any PREVIOUS batch run, keep one
@@ -1337,8 +1436,29 @@ def dedup_against_history(
     retry.  Because the result is pinned, the post-commit append reads
     the cached blocks, not the input again.  ``cli.py filter
     --dedup-history`` is this composition.
+
+    ``history_prefilter="bloom"`` attacks the probe's scale bottleneck:
+    the history grows without bound across runs, and the anti join
+    shuffles ALL of it every run.  A bloom bitset built over the BATCH
+    hashes (:func:`build_batch_bloom` — distributed build, depth-2
+    treeReduce fold) is broadcast and applied MAP-SIDE to the history
+    scan, so only history rows that might match the batch reach the
+    shuffle: per-run history shuffle drops from O(|history|) to
+    O(true matches + fpp·|history|).  False positives just pass extra
+    rows to the exact anti join — the result is IDENTICAL by
+    construction, and an undersized/saturated bloom degrades to the
+    plain join, never to wrong answers.  Cost: the batch is persisted
+    and counted first (one extra bounded pass over hashes), and the
+    broadcast is ``m/8`` bytes (32 MiB at the default cap; size
+    ``bloom_max_bits`` ≈ 10 bits per expected batch doc for ~1% fpp).
+    Worth it exactly in the cross-dump crawl regime where
+    |history| >> |batch|; leave off for young histories.
     """
     spark = df.sparkSession
+    if history_prefilter not in ("none", "bloom"):
+        raise ValueError(
+            f"history_prefilter must be none|bloom: {history_prefilter!r}"
+        )
     t = F.col(text_col)
     norm = normalized_text_col(t) if normalize else F.coalesce(t, F.lit(""))
     # keep/ts_col thread through to the within-batch dedup so a caller's
@@ -1372,6 +1492,23 @@ def dedup_against_history(
                 and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
             raise
         have_history = False
+    batch_cache = None
+    if have_history and history_prefilter == "bloom":
+        from pyspark import StorageLevel
+
+        # the bloom build + the anti join both consume the batch plan —
+        # persist once so upstream dedup runs once (released below,
+        # after `fresh` is pinned)
+        batch_cache = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        hashed = batch_cache
+        bloom = build_batch_bloom(
+            hashed, hashed.count(), fpp=bloom_fpp, max_bits=bloom_max_bits
+        )
+        if bloom is not None:
+            bits, m_bits, k_hashes = bloom
+            might = _bloom_membership_udf(spark, bits, m_bits, k_hashes)
+            hh1, hh2 = _bloom_hash_cols(F.col("text_md5"))
+            hist = hist.where(might(hh1, hh2))
     if have_history:
         fresh = hashed.join(hist, on="text_md5", how="left_anti")
     else:
@@ -1384,6 +1521,8 @@ def dedup_against_history(
         fresh.count()
     else:
         fresh = fresh.localCheckpoint()
+    if batch_cache is not None:
+        batch_cache.unpersist()
     if update_history:
         _commit_history_run(fresh, history_dir)
     return fresh if keep_hash_col else fresh.drop("text_md5")

@@ -711,6 +711,68 @@ class TestCliFilterHistory:
 
         assert len(list(pathlib.Path(hist).glob("run=*"))) == 1
 
+    def test_filter_history_bloom_matches_plain(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """--history-bloom: identical surviving urls to the plain probe
+        across two runs (the bloom is a performance knob, never a
+        semantic one)."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+        from tests.conftest import SF_SMOKE
+
+        monkeypatch.chdir(tmp_path)
+        pages = P.read_pages(spark, SF_SMOKE)
+        in1 = str(tmp_path / "in1")
+        pages.orderBy("url").limit(40).write.parquet(in1)
+        seen = spark.read.parquet(in1).limit(15).withColumn(
+            "url", F.concat(F.lit("https://re.example/"), F.col("url"))
+        )
+        new = pages.orderBy("url").limit(60).subtract(
+            pages.orderBy("url").limit(40)
+        )
+        in2 = str(tmp_path / "in2")
+        seen.union(new).write.parquet(in2)
+
+        survivors = {}
+        for mode, extra in (("plain", []), ("bloom", ["--history-bloom"])):
+            hist = str(tmp_path / f"hist_{mode}")
+            rc = cli.main(
+                ["filter", "--input", in1,
+                 "--output", str(tmp_path / f"{mode}_o1"),
+                 "--buckets", "2", "--dedup-history", hist] + extra
+            )
+            assert rc == 0
+            rc = cli.main(
+                ["filter", "--input", in2,
+                 "--output", str(tmp_path / f"{mode}_o2"),
+                 "--buckets", "2", "--dedup-history", hist] + extra
+            )
+            assert rc == 0
+            capsys.readouterr()
+            survivors[mode] = sorted(
+                r["url"] for r in spark.read.parquet(
+                    str(tmp_path / f"{mode}_o2") + "/data"
+                ).select("url").collect()
+            )
+        assert survivors["plain"] == survivors["bloom"]
+        assert len(survivors["bloom"]) == 20
+
+    def test_history_bloom_without_history_errors(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(
+            ["filter", "--documents", "/root/testdata/sf0.001",
+             "--output", str(tmp_path / "o"), "--history-bloom"]
+        )
+        assert rc == 2
+        assert "--history-bloom requires" in capsys.readouterr().err
+
     def test_history_commits_probe_survivors_not_stage_survivors(
         self, spark, tmp_path, monkeypatch, capsys
     ):

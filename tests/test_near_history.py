@@ -288,3 +288,78 @@ class TestNearDedupAgainstHistory:
             ).select("url").collect()
         }
         assert urls == {"https://b.org/2"}
+
+
+class TestBloomHistoryPrefilter:
+    """history_prefilter='bloom' on the EXACT cross-run dedup: result
+    equivalence with the plain anti join (including under a saturated
+    1-KiB bloom), the no-false-negatives bloom law, and the reduced
+    history superset/subset contract."""
+
+    def _three_runs(self, spark, tmp_path, **kw):
+        hd = str(tmp_path / "bh")
+        r1 = _docs(spark, [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")])
+        o1 = D.dedup_against_history(r1, "doc_id", "text", hd, **kw)
+        r2 = _docs(spark, [(10, "alpha doc"), (11, "gamma doc")])
+        o2 = D.dedup_against_history(r2, "doc_id", "text", hd, **kw)
+        r3 = _docs(spark, [(20, "gamma doc"), (21, "delta doc")])
+        o3 = D.dedup_against_history(r3, "doc_id", "text", hd, **kw)
+        return [sorted(r["doc_id"] for r in o.collect()) for o in (o1, o2, o3)]
+
+    def test_equivalent_to_plain_anti_join(self, spark, tmp_path):
+        plain = self._three_runs(spark, tmp_path / "a")
+        bloom = self._three_runs(
+            spark, tmp_path / "b", history_prefilter="bloom"
+        )
+        assert plain == bloom == [[1, 2], [11], [21]]
+
+    def test_saturated_bloom_still_exact(self, spark, tmp_path):
+        # max_bits floor (1 KiB): fpp -> high, result must not change
+        out = self._three_runs(
+            spark, tmp_path, history_prefilter="bloom",
+            bloom_max_bits=1024,
+        )
+        assert out == [[1, 2], [11], [21]]
+
+    def test_bloom_no_false_negatives(self, spark):
+        """Every inserted batch hash MUST test positive against the
+        built bitset — the property that makes fpp a pure performance
+        knob."""
+        import pandas as pd
+
+        hashed = _docs(
+            spark, [(i, f"doc number {i}") for i in range(200)]
+        ).withColumn("text_md5", F.md5("text"))
+        bits, m, k = D.build_batch_bloom(hashed, 200, fpp=0.05)
+        might = D._bloom_membership_udf(spark, bits, m, k)
+        h1, h2 = D._bloom_hash_cols(F.col("text_md5"))
+        hits = hashed.select(might(h1, h2).alias("hit"))
+        assert hits.where(~F.col("hit")).count() == 0
+
+    def test_bloom_filters_unrelated_hashes(self, spark):
+        """A well-sized bloom rejects MOST non-members (sanity that the
+        prefilter actually reduces the history side)."""
+        member = _docs(
+            spark, [(i, f"doc number {i}") for i in range(100)]
+        ).withColumn("text_md5", F.md5("text"))
+        other = _docs(
+            spark, [(i, f"unrelated {i}") for i in range(1000)]
+        ).withColumn("text_md5", F.md5("text"))
+        bits, m, k = D.build_batch_bloom(member, 100, fpp=0.01)
+        might = D._bloom_membership_udf(spark, bits, m, k)
+        h1, h2 = D._bloom_hash_cols(F.col("text_md5"))
+        passed = other.select(might(h1, h2).alias("hit")).where(
+            "hit"
+        ).count()
+        assert passed <= 50  # ~1% expected; generous bound vs 1000
+
+    def test_empty_batch_returns_none(self, spark):
+        hashed = _docs(spark, []).withColumn("text_md5", F.md5("text"))
+        assert D.build_batch_bloom(hashed, 0) is None
+
+    def test_bad_prefilter_value_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="history_prefilter"):
+            D.dedup_against_history(
+                _docs(spark, [(1, "x")]), "doc_id", "text",
+                str(tmp_path / "h"), history_prefilter="cuckoo",
+            )
