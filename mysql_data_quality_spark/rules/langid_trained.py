@@ -82,27 +82,72 @@ def _gram_indices(buf: np.ndarray, order: int, dim: int) -> np.ndarray:
     h = np.full(n, np.uint64(seed), dtype=np.uint64)
     for k in range(order):
         h = (h * _FNV_PRIME) ^ buf[k : k + n].astype(np.uint64)
+    if dim & (dim - 1) == 0:
+        # power-of-two dim (the default): bit-mask IS h % dim, minus
+        # the 64-bit division cost
+        return (h & np.uint64(dim - 1)).astype(np.int64)
     return (h % np.uint64(dim)).astype(np.int64)
+
+
+_BLOCK_DOCS = 1024  # bincount scratch = _BLOCK_DOCS * dim * 8 bytes
+
+
+def _featurize_block(bufs: list, dim: int, orders: tuple) -> np.ndarray:
+    """Whole-block vectorization: one concatenated byte array, ONE hash
+    pass per n-gram order across every doc at once (grams straddling a
+    doc boundary masked out), counts scattered with a single flat
+    bincount — no per-document numpy calls, which dominate wall time on
+    short web pages."""
+    nb = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), np.int64, nb)
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if big.size == 0:
+        return np.zeros((nb, dim), dtype=np.float64)
+    starts = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    doc_of = np.repeat(np.arange(nb, dtype=np.int64), lens)
+    pos = np.arange(big.size, dtype=np.int64)
+    flat_parts, doc_parts = [], []
+    for order in orders:
+        idx = _gram_indices(big, order, dim)
+        n = idx.size
+        if n == 0:
+            continue
+        d = doc_of[:n]
+        # gram must end inside the doc it starts in
+        valid = pos[:n] + (order - 1) < starts[d + 1]
+        dv = d[valid]
+        flat_parts.append(dv * dim + idx[valid])
+        doc_parts.append(dv)
+    if not flat_parts:
+        return np.zeros((nb, dim), dtype=np.float64)
+    # ONE scatter-bincount over every order's grams: the dense
+    # (nb, dim) scratch is touched once, not once per order
+    dd = np.concatenate(doc_parts)
+    out = np.bincount(
+        np.concatenate(flat_parts), minlength=nb * dim
+    ).astype(np.float64).reshape(nb, dim)
+    totals = np.bincount(dd, minlength=nb)
+    nz = totals > 0
+    out[nz] /= totals[nz, None].astype(np.float64)
+    return out
 
 
 def featurize_batch(
     texts, dim: int = DEFAULT_DIM, orders: tuple = DEFAULT_ORDERS
 ) -> np.ndarray:
     """List/Series of texts -> (B, dim) float64, rows L1-normalized
-    (all-zero row for empty/None text)."""
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, text in enumerate(texts):
-        buf = np.frombuffer(_text_bytes(text), dtype=np.uint8)
-        if buf.size == 0:
-            continue
-        idx = np.concatenate(
-            [_gram_indices(buf, o, dim) for o in orders]
-        )
-        if idx.size == 0:
-            continue
-        counts = np.bincount(idx, minlength=dim)
-        out[i] = counts / idx.size
-    return out
+    (all-zero row for empty/None text).  Processes the batch in
+    ``_BLOCK_DOCS`` chunks so the flat scatter-bincount scratch stays
+    ~16 MB at the default dim."""
+    bufs = [_text_bytes(t) for t in texts]
+    if len(bufs) <= _BLOCK_DOCS:
+        return _featurize_block(bufs, dim, orders)
+    blocks = [
+        _featurize_block(bufs[i : i + _BLOCK_DOCS], dim, orders)
+        for i in range(0, len(bufs), _BLOCK_DOCS)
+    ]
+    return np.concatenate(blocks, axis=0)
 
 
 def featurize_reference(
@@ -147,25 +192,34 @@ def score_batch(
     """(predicted langs, softmax confidence) for a batch of texts.
 
     ``und`` when the text yields no features or the winning softmax
-    probability is below ``min_prob`` (fastText's threshold flag)."""
+    probability is below ``min_prob`` (fastText's threshold flag).
+
+    Fused per block: each ``_BLOCK_DOCS`` chunk's dense feature matrix
+    is scored (``X @ W.T``) and discarded immediately, so peak scratch
+    is one ~16 MB block instead of a batch-sized matrix (the
+    batch-level concatenate measured 2x the whole featurize+matmul on
+    a bandwidth-throttled host)."""
     W, b, labels = _model_arrays(model)
-    X = featurize_batch(
-        texts, dim=int(model["dim"]), orders=tuple(model["orders"])
-    )
-    z = X @ W.T + b
-    z -= z.max(axis=1, keepdims=True)
-    ez = np.exp(z)
-    probs = ez / ez.sum(axis=1, keepdims=True)
-    best = probs.argmax(axis=1)  # ties -> lowest index = sorted-first label
-    conf = probs[np.arange(len(texts)), best]
-    empty = ~X.any(axis=1)
-    out = []
-    for i in range(len(texts)):
-        if empty[i] or conf[i] < min_prob:
-            out.append(_lexicon.UNDETERMINED)
-        else:
-            out.append(labels[best[i]])
-    conf = np.where(empty, 0.0, conf)
+    dim, orders = int(model["dim"]), tuple(model["orders"])
+    bufs = [_text_bytes(t) for t in texts]
+    n = len(bufs)
+    out: list = [None] * n
+    conf = np.zeros(n, dtype=np.float64)
+    for s in range(0, n, _BLOCK_DOCS):
+        X = _featurize_block(bufs[s : s + _BLOCK_DOCS], dim, orders)
+        z = X @ W.T + b
+        z -= z.max(axis=1, keepdims=True)
+        ez = np.exp(z)
+        probs = ez / ez.sum(axis=1, keepdims=True)
+        best = probs.argmax(axis=1)  # ties -> lowest idx = sorted-first
+        bc = probs[np.arange(len(best)), best]
+        empty = ~X.any(axis=1)
+        for j in range(len(best)):
+            if empty[j] or bc[j] < min_prob:
+                out[s + j] = _lexicon.UNDETERMINED
+            else:
+                out[s + j] = labels[best[j]]
+        conf[s : s + len(best)] = np.where(empty, 0.0, bc)
     return out, conf
 
 
