@@ -683,6 +683,43 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     )
     shutil.rmtree(nh_dir, ignore_errors=True)
 
+    # cross-run EXACT dedup probe, plain anti join vs --history-bloom:
+    # history bootstrapped from the raw docs, the timed runs probe a
+    # half-seen/half-fresh batch (the steady-state re-crawl shape).
+    # The bloom line carries its build cost (persist+count+treeReduce)
+    # AND the reduced history shuffle — at bench scale |history| ==
+    # |batch| so the win is small-to-negative; the operator exists for
+    # the |history| >> |batch| regime (see SCALE.md math).
+    eh_dir = tempfile.mkdtemp(prefix="bench_exacthist_") + "/eh"
+    dedup.dedup_against_history(docs_raw, "doc_id", "text", eh_dir)
+    seen_half = docs_raw.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    fresh_half = docs_raw.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh tail")).alias("text"),
+    )
+    exact_batch = seen_half.union(fresh_half)
+    clock(
+        "dedup_history_probe",
+        lambda: _force(
+            dedup.dedup_against_history(
+                exact_batch, "doc_id", "text", eh_dir,
+                update_history=False,
+            )
+        ),
+    )
+    clock(
+        "dedup_history_probe_bloom",
+        lambda: _force(
+            dedup.dedup_against_history(
+                exact_batch, "doc_id", "text", eh_dir,
+                update_history=False, history_prefilter="bloom",
+            )
+        ),
+    )
+    shutil.rmtree(eh_dir, ignore_errors=True)
+
     # winnowing fingerprints + substring-pair generation over the raw
     # documents (rewritten r4: windowed aggregate over exploded grams —
     # the array-lambda form re-hashed O(n^2) per doc)
