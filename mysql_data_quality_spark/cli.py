@@ -872,6 +872,37 @@ def cmd_corpus_stats(args) -> int:
         return 0
 
 
+def cmd_train_bpe(args) -> int:
+    """Learn a BPE merge table from the corpus (functions/bpe.py):
+    bounded distributed word counts -> driver-side merge loop -> JSON.
+    Score token counts with ``bpe.token_count_udf(model)`` — the
+    learned-vocabulary upgrade of the BPE-ish regex estimate."""
+    from mysql_data_quality_spark.functions.bpe import train_bpe
+    from mysql_data_quality_spark.pipeline import pages as P
+
+    with _Session(args.cores) as spark:
+        pages = (
+            spark.read.parquet(args.input)
+            if args.input
+            else P.read_pages(spark, args.documents)
+        )
+        model = train_bpe(
+            pages, num_merges=args.merges, max_rows=args.max_rows
+        )
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(model, sort_keys=True))
+        print(
+            json.dumps(
+                {
+                    "weights_file": str(out),
+                    "n_merges": len(model["merges"]),
+                }
+            )
+        )
+        return 0
+
+
 def cmd_distill_langid(args) -> int:
     """Distill the marker-lexicon language detector into a trained
     fastText-style model (rules/langid_trained.py): hashed byte 1-3-gram
@@ -1364,6 +1395,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="training-set cap (deterministic hash sample above this)",
     )
     dl.set_defaults(fn=cmd_distill_langid)
+
+    tb = sub.add_parser(
+        "train-bpe",
+        help="learn a BPE merge table (Sennrich subword units) from "
+        "the corpus and write it as JSON; use with "
+        "functions.bpe.token_count_udf for learned token counts",
+    )
+    tbsrc = tb.add_mutually_exclusive_group(required=True)
+    tbsrc.add_argument("--input")
+    tbsrc.add_argument("--documents")
+    tb.add_argument("--output", required=True, help="model JSON path")
+    tb.add_argument(
+        "--merges", type=int, default=4000,
+        help="number of BPE merges to learn (default 4000)",
+    )
+    tb.add_argument(
+        "--max-rows", type=int, default=100_000,
+        help="training-set cap (deterministic hash sample above this)",
+    )
+    tb.set_defaults(fn=cmd_train_bpe)
     return ap
 
 
