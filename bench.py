@@ -720,6 +720,32 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
     )
     shutil.rmtree(eh_dir, ignore_errors=True)
 
+    # trained-BPE token counting (cli train-bpe + token_count_udf):
+    # training is bounded by construction (hash-sample cap + top-words
+    # head), timed separately from the corpus-wide count — the count is
+    # what scales, and the per-distinct-word memo makes it cheap on
+    # Zipfian text
+    from mysql_data_quality_spark.functions import bpe as bpe_mod
+
+    bpe_model = {}
+
+    def _fit_bpe():
+        bpe_model.update(
+            bpe_mod.train_bpe(docs_raw, num_merges=500, max_rows=10_000)
+        )
+
+    clock("bpe_train", _fit_bpe)
+    clock(
+        "bpe_token_counts",
+        lambda: _force(
+            pages.select(
+                bpe_mod.token_count_udf(bpe_model)(F.col("text")).alias(
+                    "n_tok"
+                )
+            )
+        ),
+    )
+
     # winnowing fingerprints + substring-pair generation over the raw
     # documents (rewritten r4: windowed aggregate over exploded grams —
     # the array-lambda form re-hashed O(n^2) per doc)
