@@ -862,6 +862,22 @@ def cmd_corpus_stats(args) -> int:
                 .collect()
             ],
         }
+        if getattr(args, "bpe_model", None):
+            # learned-token accounting (train-bpe model): the corpus
+            # budget in REAL subword tokens, not the regex estimate
+            from mysql_data_quality_spark.functions.bpe import (
+                load_model,
+                token_count_udf,
+            )
+
+            counter = token_count_udf(load_model(args.bpe_model))
+            tok = pages.agg(
+                F.sum(counter(F.col("text"))).alias("_t")
+            ).collect()[0]["_t"]
+            report["bpe_total_tokens"] = int(tok or 0)
+            report["bpe_tokens_per_doc"] = (
+                round(tok / n_docs, 2) if n_docs and tok else 0.0
+            )
         pages.unpersist()
         out = json.dumps(report)
         if getattr(args, "output", None):
@@ -1352,6 +1368,13 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--output", default=None,
                     help="also write the JSON report to this path")
     cs.add_argument("--top-domains", type=int, default=20)
+    cs.add_argument(
+        "--bpe-model",
+        default=None,
+        metavar="PATH",
+        help="also report total/per-doc token counts with a trained "
+        "BPE model (train-bpe output)",
+    )
     cs.add_argument(
         "--approx",
         action="store_true",

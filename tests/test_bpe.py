@@ -222,3 +222,38 @@ class TestCli:
         text = "the data pipeline filters the web corpus"
         n = bpe.token_count_batch([text], model)[0]
         assert 0 < n < len(text)
+
+    def test_corpus_stats_bpe_accounting(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        from mysql_data_quality_spark import cli
+        from mysql_data_quality_spark.pipeline import pages as P
+
+        monkeypatch.chdir(tmp_path)
+        wfile = str(tmp_path / "bpe.json")
+        rc = cli.main(
+            ["train-bpe", "--documents", "/root/testdata/sf0.001",
+             "--output", wfile, "--merges", "200"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        rc = cli.main(
+            ["corpus-stats", "--documents", "/root/testdata/sf0.001",
+             "--bpe-model", wfile]
+        )
+        assert rc == 0
+        report = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        model = bpe.load_model(wfile)
+        texts = [
+            r["text"]
+            for r in P.read_pages(spark, "/root/testdata/sf0.001")
+            .select("text")
+            .collect()
+        ]
+        want = sum(bpe.token_count_batch(texts, model))
+        assert report["bpe_total_tokens"] == want
+        assert report["bpe_tokens_per_doc"] == round(
+            want / report["n_docs"], 2
+        )
