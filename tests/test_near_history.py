@@ -363,3 +363,26 @@ class TestBloomHistoryPrefilter:
                 _docs(spark, [(1, "x")]), "doc_id", "text",
                 str(tmp_path / "h"), history_prefilter="cuckoo",
             )
+
+    def test_bloom_filters_history_before_the_join(self, spark, tmp_path):
+        """Plan contract: with the prefilter on, the history side carries
+        an Arrow-UDF membership filter BEFORE the anti join — the whole
+        point is that non-candidate history rows never reach the
+        shuffle.  The plain path must carry no Python at all."""
+        from mysql_data_quality_spark.plans.compiler import formatted_plan
+
+        hd = str(tmp_path / "ph")
+        base = _docs(spark, [(i, f"text number {i}") for i in range(20)])
+        D.dedup_against_history(base, "doc_id", "text", hd)
+        batch = _docs(spark, [(100 + i, f"text number {i}") for i in range(10)])
+        plain = D.dedup_against_history(
+            batch, "doc_id", "text", hd, update_history=False,
+            pin="disk",
+        )
+        bloom = D.dedup_against_history(
+            batch, "doc_id", "text", hd, update_history=False,
+            pin="disk", history_prefilter="bloom",
+        )
+        p_plain, p_bloom = formatted_plan(plain), formatted_plan(bloom)
+        assert "ArrowEvalPython" not in p_plain
+        assert "ArrowEvalPython" in p_bloom  # the membership UDF ran
