@@ -273,7 +273,9 @@ def token_count_udf(model: dict) -> Column:
 
 
 def load_model(path: str) -> dict:
-    model = json.loads(open(path).read())
+    from pathlib import Path
+
+    model = json.loads(Path(path).read_text())
     if "merges" not in model or not isinstance(model["merges"], list):
         raise ValueError(f"not a BPE model file: {path}")
     return model

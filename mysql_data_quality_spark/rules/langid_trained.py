@@ -340,6 +340,8 @@ def train_langid(
 
 
 def load_model(path: str) -> dict:
-    model = json.loads(open(path).read())
+    from pathlib import Path
+
+    model = json.loads(Path(path).read_text())
     _model_arrays(model)  # validate shape early
     return model
