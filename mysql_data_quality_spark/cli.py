@@ -228,12 +228,14 @@ def cmd_filter(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if getattr(args, "history_bloom", False) and not getattr(
-        args, "dedup_history", None
+    if getattr(args, "history_bloom", False) and not (
+        getattr(args, "dedup_history", None)
+        or getattr(args, "near_history", None)
     ):
         print(
-            "error: --history-bloom requires --dedup-history (it "
-            "prefilters that stage's history scan)",
+            "error: --history-bloom requires --dedup-history or "
+            "--near-history (it prefilters those stages' history "
+            "scans)",
             file=sys.stderr,
         )
         return 2
@@ -506,6 +508,11 @@ def cmd_filter(args) -> int:
                 threshold=args.near_threshold,
                 update_history=False,
                 star_edges=getattr(args, "near_star_edges", False),
+                history_prefilter=(
+                    "bloom"
+                    if getattr(args, "history_bloom", False)
+                    else "none"
+                ),
             )
             # same capture as hist_probe: commit the pinned near-probe
             # survivors, not the post-domain-threshold frame
@@ -1101,9 +1108,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument(
         "--history-bloom",
         action="store_true",
-        help="with --dedup-history: broadcast a bloom of this batch's "
-        "hashes to prefilter the history scan map-side before the "
-        "anti join (exact results; shuffle drops from O(history) to "
+        help="with --dedup-history / --near-history: broadcast a bloom "
+        "of this batch's hashes (text md5s / LSH band hashes) to "
+        "prefilter the history scan map-side before the join (exact "
+        "results; shuffle drops from O(history) to "
         "O(matches + fpp*history) — for histories much larger than "
         "the batch)",
     )

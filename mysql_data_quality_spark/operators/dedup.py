@@ -1292,6 +1292,20 @@ def build_batch_bloom(
     max_bits: int = 2 ** 28,
 ) -> tuple[bytes, int, int] | None:
     """Bloom bitset over the batch's ``text_md5`` values -> (bits, m, k).
+    See :func:`bloom_from_hash_cols` for the build/sizing contract."""
+    h1c, h2c = _bloom_hash_cols(F.col("text_md5"))
+    return bloom_from_hash_cols(hashed, h1c, h2c, n_items, fpp, max_bits)
+
+
+def bloom_from_hash_cols(
+    df: DataFrame,
+    h1c: Column,
+    h2c: Column,
+    n_items: int,
+    fpp: float = 0.01,
+    max_bits: int = 2 ** 28,
+) -> tuple[bytes, int, int] | None:
+    """Bloom bitset over arbitrary (h1, h2) hash columns -> (bits, m, k).
 
     Built distributed: one numpy bitset per partition via
     ``mapInPandas`` (vectorized ``bitwise_or.at`` insertion, no per-row
@@ -1300,8 +1314,9 @@ def build_batch_bloom(
     for ``fpp`` and capped at ``max_bits`` — an undersized bloom only
     RAISES the false-positive rate (more history rows survive the
     prefilter), never drops a true match, so saturation degrades to the
-    plain anti join instead of corrupting results.  Returns None for an
-    empty batch (nothing to probe)."""
+    plain join instead of corrupting results.  Returns None for an
+    empty batch (nothing to probe).  The PROBER must derive (h1, h2)
+    with the same expressions — agreement by construction."""
     import math
 
     import numpy as np
@@ -1313,8 +1328,7 @@ def build_batch_bloom(
     m = min(m, max_bits)
     k = max(1, min(8, round(m / n_items * math.log(2))))
     nbytes = m // 8
-    h1c, h2c = _bloom_hash_cols(F.col("text_md5"))
-    rows = hashed.select(h1c.alias("h1"), h2c.alias("h2"))
+    rows = df.select(h1c.alias("h1"), h2c.alias("h2"))
 
     def _build(batches):
         import pandas as pd
@@ -1615,6 +1629,9 @@ def near_dedup_against_history(
     pin: str = "localCheckpoint",
     broadcast_seen: bool = True,
     star_edges: bool = False,
+    history_prefilter: str = "none",
+    bloom_fpp: float = 0.01,
+    bloom_max_bits: int = 2 ** 28,
 ) -> DataFrame:
     """Incremental cross-RUN **near**-dup dedup — the fuzzy complement of
     :func:`dedup_against_history` for crawl-snapshot-at-a-time pipelines
@@ -1658,12 +1675,25 @@ def near_dedup_against_history(
     write commits), call with ``update_history=False``, write the
     returned (pinned) frame, then
     ``commit_near_history(result, id_col, text_col, history_dir, ...)``.
+
+    ``history_prefilter="bloom"`` is the same scale lever as on
+    :func:`dedup_against_history`: the band history grows without bound
+    across runs and the probe join shuffles all of it every run.  A
+    bloom over the BATCH's ``xxhash64(band, bh)`` keys (built from the
+    already-persisted signatures — no extra corpus pass) filters the
+    history map-side before the join; bloom false positives only pass
+    extra band rows to the exact join, so results are identical and a
+    saturated bloom degrades to the plain join.
     """
     from pyspark import StorageLevel
     from pyspark.errors import AnalysisException
 
     if pin not in ("localCheckpoint", "disk"):
         raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
+    if history_prefilter not in ("none", "bloom"):
+        raise ValueError(
+            f"history_prefilter must be none|bloom: {history_prefilter!r}"
+        )
     spark = df.sparkSession
     _check_near_history_params(
         spark, history_dir, k, num_hashes, bands, for_write=update_history
@@ -1692,6 +1722,24 @@ def near_dedup_against_history(
                 and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
             raise
         have_history = False
+    if have_history and history_prefilter == "bloom":
+        # banded derives from the persisted signatures, so counting it
+        # and building the bloom re-reads cached blocks, not the corpus
+        bh1 = F.xxhash64(F.col("band"), F.col("bh"))
+        bh2 = F.xxhash64(F.col("band"), F.col("bh"), F.lit(1))
+        bloom = bloom_from_hash_cols(
+            banded, bh1, bh2, banded.count(),
+            fpp=bloom_fpp, max_bits=bloom_max_bits,
+        )
+        if bloom is not None:
+            bits, m_bits, k_hashes = bloom
+            might = _bloom_membership_udf(spark, bits, m_bits, k_hashes)
+            hist = hist.where(
+                might(
+                    F.xxhash64(F.col("band"), F.col("bh")),
+                    F.xxhash64(F.col("band"), F.col("bh"), F.lit(1)),
+                )
+            )
     if have_history:
         seen = (
             banded.join(hist, on=["band", "bh"])

@@ -386,3 +386,44 @@ class TestBloomHistoryPrefilter:
         p_plain, p_bloom = formatted_plan(plain), formatted_plan(bloom)
         assert "ArrowEvalPython" not in p_plain
         assert "ArrowEvalPython" in p_bloom  # the membership UDF ran
+
+    def test_near_history_bloom_equivalent(self, spark, tmp_path):
+        """history_prefilter='bloom' on the NEAR probe: identical
+        survivors to the plain band join across three runs, including
+        under a saturated 1-KiB bloom."""
+        outs = {}
+        for mode, kw in (
+            ("plain", {}),
+            ("bloom", {"history_prefilter": "bloom"}),
+            ("tiny", {"history_prefilter": "bloom",
+                      "bloom_max_bits": 1024}),
+        ):
+            hd = str(tmp_path / f"nh_{mode}")
+            r1 = _docs(spark, [
+                (1, BASE + " one"),
+                (2, BASE + " one extra words appended here to vary slightly"),
+                (3, OTHER),
+            ])
+            o1 = D.near_dedup_against_history(
+                r1, "doc_id", "text", hd, **kw
+            )
+            r2 = _docs(spark, [
+                (10, BASE + " one tail"),
+                (11, FRESH),
+                (12, "short"),
+            ])
+            o2 = D.near_dedup_against_history(
+                r2, "doc_id", "text", hd, **kw
+            )
+            outs[mode] = [
+                sorted(r["doc_id"] for r in o.collect()) for o in (o1, o2)
+            ]
+        assert outs["plain"] == outs["bloom"] == outs["tiny"]
+        assert outs["plain"] == [[1, 3], [11, 12]]
+
+    def test_near_bad_prefilter_value_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="history_prefilter"):
+            D.near_dedup_against_history(
+                _docs(spark, [(1, BASE)]), "doc_id", "text",
+                str(tmp_path / "h"), history_prefilter="xor",
+            )
