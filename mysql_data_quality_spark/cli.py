@@ -697,6 +697,18 @@ def cmd_stream_filter(args) -> int:
         stream_input_rows,
     )
 
+    li_model = None
+    if getattr(args, "langid_model", None):
+        from mysql_data_quality_spark.rules.langid_trained import (
+            load_model,
+        )
+
+        li_model = load_model(args.langid_model)
+    lm = None
+    if getattr(args, "arpa_model", None):
+        from mysql_data_quality_spark.rules.arpa import parse_arpa_file
+
+        lm = parse_arpa_file(args.arpa_model)
     with _Session(args.cores) as spark:
         raise_progress_retention(spark)
         q = start_filter_stream(
@@ -708,6 +720,8 @@ def cmd_stream_filter(args) -> int:
             dedup_state=args.state,
             n_state_buckets=args.state_buckets,
             files_per_trigger=getattr(args, "files_per_trigger", 4),
+            langid_model=li_model,
+            lm=lm,
         )
         q.awaitTermination()
         n_rows, n_batches = stream_input_rows(q)
@@ -1336,6 +1350,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="files per micro-batch; the per-batch floor is fixed "
         "(~2.3s local: engine+checkpoint, plan analysis, sink commit), "
         "so size triggers for seconds of compute per batch",
+    )
+    s.add_argument(
+        "--langid-model", default=None, metavar="PATH",
+        help="trained langid weights (distill-langid) — same hook as "
+        "the batch filter, so stream and batch score identically",
+    )
+    s.add_argument(
+        "--arpa-model", default=None, metavar="PATH",
+        help="ARPA n-gram LM for perplexity — same hook as the batch "
+        "filter",
     )
     s.set_defaults(fn=cmd_stream_filter)
 

@@ -64,6 +64,8 @@ def start_filter_stream(
     n_state_buckets: int = 16,
     dedup_state: str = "exact",
     files_per_trigger: int = 4,
+    langid_model: dict | None = None,
+    lm=None,
 ):
     """Run the quality filter incrementally; decisions land as parquet
     partitioned by ``batch_id``.
@@ -82,6 +84,11 @@ def start_filter_stream(
     on exact TEXT within one corpus snapshot, while a stream has no
     corpus-wide view — first-seen-URL is the streaming-correct dedup
     granularity (pair it with url canonicalization upstream).
+
+    ``langid_model`` / ``lm`` are the same trained-model hooks as the
+    batch path (``quality_filter.annotate``): the streaming deployment
+    scores with the SAME weights as its batch twin, so a migration
+    between the two can't silently change decisions.
     """
     stream = stream_pages(spark, input_dir, files_per_trigger)
     if dedup:
@@ -97,7 +104,10 @@ def start_filter_stream(
         )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_decisions_batch(batch_df, batch_id, output_dir)
+        write_decisions_batch(
+            batch_df, batch_id, output_dir,
+            langid_model=langid_model, lm=lm,
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -108,7 +118,11 @@ def start_filter_stream(
 
 
 def write_decisions_batch(
-    batch_df: DataFrame, batch_id: int, output_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    langid_model: dict | None = None,
+    lm=None,
 ) -> None:
     """The idempotent micro-batch writer: decisions land under
     ``output_dir/batch_id=N`` (partition-discovery layout, so readers of
@@ -124,10 +138,14 @@ def write_decisions_batch(
     unbounded-crawl 10^5 micro-batches that is the sink's scaling
     hazard.  Writing straight to the partition path is O(1) per batch
     forever, with identical layout and replay semantics."""
-    (
-        QF.decisions(batch_df)
-        .write.mode("overwrite")
-        .parquet(f"{output_dir}/batch_id={int(batch_id)}")
+    dec = (
+        QF.annotate(batch_df, langid_model=langid_model, lm=lm)
+        .select(*QF.DECISION_COLS)
+        if (langid_model is not None or lm is not None)
+        else QF.decisions(batch_df)
+    )
+    dec.write.mode("overwrite").parquet(
+        f"{output_dir}/batch_id={int(batch_id)}"
     )
 
 

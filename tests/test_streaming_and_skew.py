@@ -30,6 +30,50 @@ class TestStreaming:
         for c in batch.columns:
             assert (streamed[c].values == batch[c].values).all(), c
 
+    def test_stream_equals_batch_with_trained_langid(self, spark, tmp_path):
+        """The trained-model hooks thread through foreachBatch: a stream
+        scored with --langid-model produces byte-identical decisions to
+        the batch filter with the same weights."""
+        from mysql_data_quality_spark.rules.langid import LANG_MARKERS
+        from mysql_data_quality_spark.rules.langid_trained import (
+            train_langid,
+        )
+
+        rows, i = [], 0
+        for lang, words in LANG_MARKERS.items():
+            for k in range(25):
+                t = " ".join(words[(k + j) % len(words)] for j in range(6))
+                rows.append(
+                    (f"https://{lang}.ex.com/{i}", t, lang)
+                )
+                i += 1
+        corpus = spark.createDataFrame(
+            rows, "url string, text string, lang string"
+        )
+        model = train_langid(corpus, dim=256, max_iter=40)
+        pages = corpus.selectExpr(
+            "url", "timestamp('2024-01-01') as warc_ts",
+            "cast(null as binary) as html", "text", "lang",
+        )
+        in_dir = str(tmp_path / "in_li")
+        pages.repartition(4).write.parquet(in_dir)
+        q = incremental.start_filter_stream(
+            spark, in_dir, str(tmp_path / "out_li"),
+            str(tmp_path / "ckpt_li"), langid_model=model,
+        )
+        q.awaitTermination(120)
+        streamed = (
+            spark.read.parquet(str(tmp_path / "out_li"))
+            .orderBy("url").toPandas()
+        )
+        batch = (
+            QF.decisions(pages, langid_model=model)
+            .orderBy("url").toPandas()
+        )
+        assert len(streamed) == len(batch)
+        for c in batch.columns:
+            assert (streamed[c].values == batch[c].values).all(), c
+
     def test_windowed_metrics_with_watermark(self, spark, tmp_path):
         pages = P.read_pages(spark, SF_SMOKE)
         in_dir = str(tmp_path / "in")
