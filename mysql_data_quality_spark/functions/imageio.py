@@ -13,6 +13,10 @@ PIL/ffmpeg.  Formats implemented from their public specifications:
     DEFLATE via the stdlib ``zlib``) — the dominant real web image
     format, so the real-decode path now covers actual crawl payloads,
     not just the test-friendly uncompressed layouts.
+  * GIF (GIF87a/GIF89a first frame: variable-width LZW with CLEAR /
+    KwKwK handling, global+local color tables, Adam-style 4-pass
+    deinterlace; extensions skipped) — decoded against an independent
+    LZW compressor written in the tests.
 
 All functions are deterministic; resize is nearest-neighbor with the
 half-pixel center convention (pure index math, no float filtering — the
@@ -28,7 +32,7 @@ import numpy as np
 
 
 class ImageFormatError(ValueError):
-    """Payload is not a supported BMP/PPM/PNG byte stream."""
+    """Payload is not a supported BMP/PPM/PNG/GIF byte stream."""
 
 
 # ---------------------------------------------------------------------------
@@ -323,12 +327,143 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a; first frame, LZW, optional interlace)
+# ---------------------------------------------------------------------------
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """Variable-width LZW per the GIF spec: CLEAR resets the dictionary,
+    code width grows at dictionary sizes 2^w (cap 12 bits / 4096
+    entries).  Returns exactly ``n_pixels`` index bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ImageFormatError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ImageFormatError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ImageFormatError(
+            f"GIF raster short: {len(out)} of {n_pixels} pixels"
+        )
+    return bytes(out[:n_pixels])
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    """Reorder the four GIF interlace passes into display order."""
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/GIF89a -> uint8 HxWx3 (palette resolved;
+    transparency ignored — the opaque palette color is used)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageFormatError("not a GIF payload")
+    if len(payload) < 13:
+        raise ImageFormatError("truncated GIF header")
+    packed = payload[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise ImageFormatError("truncated GIF global color table")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            raise ImageFormatError("GIF has no image data")
+        if block == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ImageFormatError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        w, h = struct.unpack_from("<HH", payload, pos + 5)
+        ipacked = payload[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 0x07)
+            raw = payload[pos : pos + 3 * n]
+            if len(raw) != 3 * n:
+                raise ImageFormatError("truncated GIF local color table")
+            table = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ImageFormatError("GIF image has no color table")
+        if w == 0 or h == 0:
+            raise ImageFormatError(f"bad GIF dimensions {w}x{h}")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx_bytes = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+        idx = np.frombuffer(idx_bytes, dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx)
+        if int(idx.max()) >= table.shape[0]:
+            raise ImageFormatError("GIF palette index out of range")
+        return table[idx]
+    raise ImageFormatError("GIF stream ended before image data")
+
+
+# ---------------------------------------------------------------------------
 # decode dispatch + resize
 # ---------------------------------------------------------------------------
 def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     """Dispatch on mime when given, else sniff the magic bytes."""
     if mime == "image/png":
         return decode_png(payload)
+    if mime == "image/gif":
+        return decode_gif(payload)
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return decode_bmp(payload)
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap",
@@ -336,13 +471,15 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     raise ImageFormatError(
         f"unsupported image payload (mime={mime!r}, "
-        f"magic={payload[:2]!r}); numpy codecs cover PNG, BMP and PPM"
+        f"magic={payload[:2]!r}); numpy codecs cover PNG, GIF, BMP and PPM"
     )
 
 

@@ -354,3 +354,151 @@ class TestSparkRealPaths:
         assert out["payload_sha256"] == hashlib.sha256(
             b"not an image at all"
         ).hexdigest()
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Independent reference GIF-LZW COMPRESSOR for the decoder tests:
+    textbook dictionary build, variable code width, leading CLEAR,
+    trailing END, 4096-entry cap with re-CLEAR."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = []
+
+    def emit(code, width):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, (
+            min_code_size + 1
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf = b""
+    for px in indices:
+        nxt = buf + bytes([px])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = bytes([px])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def _gif_manual(w, h, palette, indices, interlace=False,
+                version=b"GIF89a", extensions=b""):
+    """Assemble a one-frame GIF with a global color table."""
+    import math
+    import struct
+
+    n = max(2, 1 << math.ceil(math.log2(max(2, len(palette)))))
+    gct_bits = int(math.log2(n)) - 1
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * n - len(pal))
+    hdr = version + struct.pack(
+        "<HHBBB", w, h, 0x80 | gct_bits, 0, 0
+    ) + bytes(pal)
+    min_code = max(2, (gct_bits + 1))
+    lzw = _lzw_encode(list(indices), min_code)
+    img = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    ) + bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        img += bytes([len(chunk)]) + chunk
+    img += b"\x00"
+    return hdr + extensions + img + b"\x3b"
+
+
+class TestGif:
+    PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+    def test_round_trip_via_reference_compressor(self):
+        rng = np.random.RandomState(3)
+        idx = rng.randint(0, 4, size=(7, 9)).astype(np.uint8)
+        blob = _gif_manual(9, 7, self.PAL, idx.reshape(-1))
+        out = IIO.decode_gif(blob)
+        want = np.array(self.PAL, dtype=np.uint8)[idx]
+        assert (out == want).all()
+
+    def test_long_stream_grows_code_width(self):
+        # >4 distinct patterns force the dictionary past 2^(min+1):
+        # exercises width growth in both reference encoder and decoder
+        rng = np.random.RandomState(11)
+        idx = rng.randint(0, 4, size=(40, 40)).astype(np.uint8)
+        blob = _gif_manual(40, 40, self.PAL, idx.reshape(-1))
+        out = IIO.decode_gif(blob)
+        want = np.array(self.PAL, dtype=np.uint8)[idx]
+        assert (out == want).all()
+
+    def test_interlaced_rows_reordered(self):
+        idx = np.arange(32, dtype=np.uint8).reshape(8, 4) % 4
+        order = (
+            list(range(0, 8, 8))
+            + list(range(4, 8, 8))
+            + list(range(2, 8, 4))
+            + list(range(1, 8, 2))
+        )
+        stored = idx[order]  # what an interlaced file stores
+        blob = _gif_manual(
+            4, 8, self.PAL, stored.reshape(-1), interlace=True
+        )
+        out = IIO.decode_gif(blob)
+        want = np.array(self.PAL, dtype=np.uint8)[idx]
+        assert (out == want).all()
+
+    def test_extensions_skipped(self):
+        # graphic control extension (0xF9) before the image descriptor
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        blob = _gif_manual(
+            2, 2, self.PAL, idx.reshape(-1), extensions=ext
+        )
+        out = IIO.decode_gif(blob)
+        assert (out[0, 0] == [255, 0, 0]).all()
+        assert (out[1, 1] == [9, 9, 9]).all()
+
+    def test_gif87a_accepted(self):
+        idx = np.zeros(4, dtype=np.uint8)
+        blob = _gif_manual(2, 2, self.PAL, idx, version=b"GIF87a")
+        assert IIO.decode_gif(blob).shape == (2, 2, 3)
+
+    def test_truncated_raises(self):
+        idx = np.zeros(4, dtype=np.uint8)
+        blob = _gif_manual(2, 2, self.PAL, idx)
+        with pytest.raises(IIO.ImageFormatError):
+            IIO.decode_gif(blob[:20])
+
+    def test_no_image_data_raises(self):
+        import struct
+
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b"
+        with pytest.raises(IIO.ImageFormatError, match="no image"):
+            IIO.decode_gif(hdr)
+
+    def test_dispatch_sniffs_and_mime(self):
+        idx = np.array([0, 1, 2, 3], dtype=np.uint8)
+        blob = _gif_manual(2, 2, self.PAL, idx)
+        want = np.array(self.PAL, dtype=np.uint8)[idx.reshape(2, 2)]
+        assert (IIO.decode_image(blob) == want).all()
+        assert (IIO.decode_image(blob, "image/gif") == want).all()
+        assert (MM.real_decode(blob, "image/gif") == want).all()
