@@ -163,10 +163,22 @@ def iter_warc_pages(
         stream_iter = iter((blob,))
     for stream in stream_iter:
         for headers, payload in _split_records(stream):
-            if headers.get("warc-type") not in record_types:
+            wtype = headers.get("warc-type")
+            if wtype not in record_types:
                 continue
             url = headers.get("warc-target-uri")
             if not url:
+                continue
+            if wtype == "conversion":
+                # WET records: the payload IS the extracted text
+                # (text/plain, utf-8) — fill `text` directly, no html
+                yield {
+                    "url": url,
+                    "warc_ts": _parse_ts(headers.get("warc-date")),
+                    "html": None,
+                    "text": payload.decode("utf-8", "replace"),
+                    "lang": None,
+                }
                 continue
             yield {
                 "url": url,
@@ -206,6 +218,44 @@ def read_warc(
                     )
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Pages frame from Common-Crawl WET files (``conversion`` records:
+    the crawl's own extracted text).  ``text`` arrives filled, so the
+    HTML-extraction stage is unnecessary — feed straight to the rule
+    plan."""
+    return read_warc(spark, path, record_types=("conversion",))
+
+
+def build_wet(
+    pages: list[tuple[str, str, str]], gzip_members: bool = False
+) -> bytes:
+    """Deterministic WET writer (test/round-trip twin of
+    :func:`read_wet`): one ``conversion`` record per (url, iso_date,
+    text)."""
+    records = []
+    for url, iso_date, text in pages:
+        payload = text.encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {iso_date}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+        records.append(rec)
+    if gzip_members:
+        import gzip as _gz
+
+        return b"".join(
+            _gz.compress(r, mtime=0) for r in records
+        )
+    return b"".join(records)
 
 
 def build_warc(

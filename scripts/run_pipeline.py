@@ -39,6 +39,9 @@ def main() -> None:
     src.add_argument("--input-warc",
                      help="raw .warc/.warc.gz crawl files (batch only; "
                      "text extracted from the response html payloads)")
+    src.add_argument("--input-wet",
+                     help="Common-Crawl WET files (conversion records: "
+                     "the crawl's own extracted text; batch only)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--group-size", type=int, default=8)
@@ -127,6 +130,11 @@ def main() -> None:
             pages = P.pages_with_extracted_text(
                 read_warc(spark, args.input_warc)
             )
+        elif getattr(args, "input_wet", None):
+            # WET ingestion: text arrives pre-extracted by the crawl
+            from mysql_data_quality_spark.sources.warc import read_wet
+
+            pages = read_wet(spark, args.input_wet)
         elif args.input:
             pages = spark.read.parquet(args.input)
         else:

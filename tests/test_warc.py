@@ -163,3 +163,46 @@ class TestSparkSource:
         got = dec.orderBy("url").collect()[0]
         assert "data table" in got["scrubbed_text"]
         assert got["keep"] is True
+
+
+class TestWet:
+    WET_PAGES = [
+        ("https://a.example/x", DATE, "the first extracted text body"),
+        ("https://b.example/y", "2024-02-01T00:00:00Z",
+         "texte extrait déjà prêt ☕"),
+    ]
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_round_trip(self, gz):
+        blob = W.build_wet(self.WET_PAGES, gzip_members=gz)
+        rows = list(W.iter_warc_pages(blob, record_types=("conversion",)))
+        assert [r["url"] for r in rows] == [p[0] for p in self.WET_PAGES]
+        assert [r["text"] for r in rows] == [p[2] for p in self.WET_PAGES]
+        assert all(r["html"] is None for r in rows)
+
+    def test_default_reader_skips_conversion(self):
+        """A mixed WARC+WET stream: the response reader must not pick up
+        conversion records, and vice versa."""
+        mixed = W.build_warc(PAGES) + W.build_wet(self.WET_PAGES)
+        resp = list(W.iter_warc_pages(mixed))
+        conv = list(W.iter_warc_pages(mixed, record_types=("conversion",)))
+        assert [r["url"] for r in resp] == [p[0] for p in PAGES]
+        assert [r["url"] for r in conv] == [p[0] for p in self.WET_PAGES]
+
+    def test_spark_read_wet_feeds_rules_directly(self, spark, tmp_path):
+        """read_wet: text arrives filled (no extraction stage), decisions
+        run straight off the frame."""
+        from mysql_data_quality_spark.pipeline import quality_filter as QF
+
+        d = tmp_path / "wet"
+        d.mkdir()
+        (d / "part1.warc.wet.gz").write_bytes(
+            W.build_wet(self.WET_PAGES, gzip_members=True)
+        )
+        df = W.read_wet(spark, str(d))
+        got = df.orderBy("url").collect()
+        assert [r["text"] for r in got] == [p[2] for p in self.WET_PAGES]
+        assert all(r["html"] is None for r in got)
+        dec = QF.decisions(df)
+        assert dec.count() == 2
+        assert set(dec.columns) == set(QF.DECISION_COLS)
