@@ -251,6 +251,15 @@ def cmd_filter(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "semantic_history", None) and not getattr(
+        args, "semantic_embeddings", None
+    ):
+        print(
+            "error: --semantic-history requires --semantic-embeddings "
+            "PARQUET (the url -> embedding mapping it buckets on)",
+            file=sys.stderr,
+        )
+        return 2
     if getattr(args, "dedup_semantic", None) is not None and not getattr(
         args, "semantic_embeddings", None
     ):
@@ -518,7 +527,31 @@ def cmd_filter(args) -> int:
             # survivors, not the post-domain-threshold frame
             near_probe = pages
         sem_thr = getattr(args, "dedup_semantic", None)
-        if sem_thr is not None:
+        sem_hist = getattr(args, "semantic_history", None)
+        sem_probe = sem_emb = None
+        sem_dim = getattr(args, "semantic_dim", None)
+        if sem_hist:
+            # cross-run SemDeDup: within-batch semantic dedup + drop
+            # batch docs whose embedding collides with any previously-
+            # kept doc's hyperplane bucket (subsumes --dedup-semantic
+            # within-batch, like --near-history subsumes --dedup-near
+            # minhash); bucket rows commit only AFTER the write
+            from mysql_data_quality_spark.operators.dedup import (
+                semantic_dedup_against_history,
+            )
+
+            sem_emb = spark.read.parquet(args.semantic_embeddings)
+            if sem_dim is None:
+                row = sem_emb.selectExpr("size(embedding) as d").first()
+                sem_dim = int(row["d"]) if row else None
+            pages = semantic_dedup_against_history(
+                pages, sem_emb, "url", sem_hist,
+                dim=sem_dim,
+                threshold=sem_thr if sem_thr is not None else 0.85,
+                update_history=False,
+            )
+            sem_probe = pages
+        elif sem_thr is not None:
             # SemDeDup stage: drop embedding-space near-duplicates
             # (paraphrases/translations that shingle-level near-dup
             # can't see).  Runs after the text-level dedup stages —
@@ -534,7 +567,7 @@ def cmd_filter(args) -> int:
                 pages,
                 spark.read.parquet(args.semantic_embeddings),
                 "url",
-                dim=getattr(args, "semantic_dim", None),
+                dim=sem_dim,
                 threshold=sem_thr,
             )
         dsir_tgt = getattr(args, "dsir_target", None)
@@ -621,7 +654,7 @@ def cmd_filter(args) -> int:
                 res, "pages", Path(args.output) / "metrics"
             )
             stats["metrics_reports"] = {k: str(v) for k, v in paths.items()}
-        if (hist_dir or near_hist) and dom_thr is not None:
+        if (hist_dir or near_hist or sem_probe is not None) and dom_thr is not None:
             # domain keep-rate is CORPUS-RELATIVE, not a content
             # property: a doc dropped solely because its domain scored
             # badly THIS run must not be suppressed from every future
@@ -635,6 +668,8 @@ def cmd_filter(args) -> int:
                 hist_probe = hist_probe.join(survivors, "url", "left_semi")
             if near_hist:
                 near_probe = near_probe.join(survivors, "url", "left_semi")
+            if sem_probe is not None:
+                sem_probe = sem_probe.join(survivors, "url", "left_semi")
         if hist_dir:
             # the write (or its verified resume) is complete: NOW record
             # this batch's hashes (reads the pinned probe result, not the
@@ -658,6 +693,15 @@ def cmd_filter(args) -> int:
                 k=3, num_hashes=32, bands=8,
             )
             stats["near_history_dir"] = near_hist
+        if sem_probe is not None and sem_dim is not None:
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_semantic_history,
+            )
+
+            commit_semantic_history(
+                sem_probe, sem_emb, "url", sem_hist, dim=sem_dim
+            )
+            stats["semantic_history_dir"] = sem_hist
         if fuzzy_sigs is not None:
             # all consumers done (write AND the history commits, which
             # replay the composed lineage when no pin sits between): NOW
@@ -1270,6 +1314,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="SemDeDup stage: drop all but one page per cluster of "
         "embedding-space near-duplicates (cosine >= COSINE); needs "
         "--semantic-embeddings; runs after the text-level dedup stages",
+    )
+    f.add_argument(
+        "--semantic-history",
+        default=None,
+        metavar="DIR",
+        help="cross-run SemDeDup: drop docs whose embedding collides "
+        "with any previously-kept doc's hyperplane-LSH bucket; commit "
+        "this run's buckets after the write (requires "
+        "--semantic-embeddings; subsumes --dedup-semantic within-batch)",
     )
     f.add_argument(
         "--semantic-embeddings",

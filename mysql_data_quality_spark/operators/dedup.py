@@ -1577,13 +1577,31 @@ def _check_near_history_params(
     a read-only probe against a fresh or read-only-mounted history must
     stay write-free (r5 ADVICE; same contract as
     ``_fold_legacy_layout(for_write=False)``)."""
+    _check_history_params(
+        spark, history_dir,
+        {"k": int(k), "num_hashes": int(num_hashes), "bands": int(bands)},
+        fname="_near_params.json", kind="near-dup", for_write=for_write,
+    )
+
+
+def _check_history_params(
+    spark: SparkSession,
+    history_dir: str,
+    params: dict,
+    fname: str,
+    kind: str,
+    for_write: bool = True,
+) -> None:
+    """Generic geometry pinning for hash-history dirs (see
+    :func:`_check_near_history_params` for the contract): validate when
+    the params file exists, create crash-safely on first WRITE, stay
+    write-free on probe-only calls."""
     import json as _json
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(history_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-    params = {"k": int(k), "num_hashes": int(num_hashes), "bands": int(bands)}
-    pfile = hpath(f"{history_dir}/_near_params.json")
+    pfile = hpath(f"{history_dir}/{fname}")
     if fs.exists(pfile):
         stream = fs.open(pfile)
         try:
@@ -1595,8 +1613,8 @@ def _check_near_history_params(
         stored = _json.loads(raw.decode("utf-8"))
         if stored != params:
             raise ValueError(
-                f"near-dup history {history_dir} was built with "
-                f"{stored}, probed with {params} — band hashes are "
+                f"{kind} history {history_dir} was built with "
+                f"{stored}, probed with {params} — hashes are "
                 "incomparable across geometries; use the original "
                 "parameters or start a new history dir"
             )
@@ -1606,14 +1624,14 @@ def _check_near_history_params(
     if not fs.exists(hpath(history_dir)):
         fs.mkdirs(hpath(history_dir))
     # params file commit is itself crash-safe: write tmp, rename
-    tmp = hpath(f"{history_dir}/_tmp-near-params.json")
+    tmp = hpath(f"{history_dir}/_tmp-{fname}")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(_json.dumps(params).encode("utf-8")))
     finally:
         out.close()
     if not fs.rename(tmp, pfile) and not fs.exists(pfile):
-        raise IOError(f"near-history params commit failed: {pfile}")
+        raise IOError(f"{kind}-history params commit failed: {pfile}")
 
 
 def near_dedup_against_history(
@@ -1984,3 +2002,167 @@ where c.{id_col} not in (
   select doc_id from ({closure}) cl where cl.doc_id <> cl.cluster_id
 )
 """
+
+
+def _semantic_bucket_rows(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(doc_id, tbl, bkt) hyperplane-LSH bucket rows — one signature UDF
+    pass, posexplode of the per-table array.  The SAME function serves
+    batch and history sides, so bucket agreement is by construction."""
+    from mysql_data_quality_spark.operators import ann
+
+    sig = ann.signatures_pandas_udf(dim, bits, tables, seed=seed)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+        )
+        .select("doc_id", F.posexplode(sig(F.col("_v"))).alias("tbl", "bkt"))
+    )
+
+
+def semantic_dedup_against_history(
+    df: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    history_dir: str,
+    dim: int | None = None,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    bits: int = 12,
+    tables: int = 24,
+    seed: int = 42,
+    update_history: bool = True,
+    pin: str = "localCheckpoint",
+    broadcast_seen: bool = True,
+) -> DataFrame:
+    """Incremental cross-RUN **semantic** dedup — the embedding-space
+    member of the cross-run family (exact md5 →
+    :func:`dedup_against_history`, lexical minhash →
+    :func:`near_dedup_against_history`, and this: SemDeDup across crawl
+    dumps): drop documents whose embedding collides with any
+    PREVIOUSLY-kept document's hyperplane-LSH bucket, after the usual
+    within-batch :func:`semantic_dedup_corpus`.
+
+    History stores ``(tbl, bkt)`` sign-LSH bucket rows of every kept
+    document — 12 B × tables per doc, never embeddings (storage-lean at
+    10^12 docs, and the embedding store can be retired between dumps).
+    A batch survivor is dropped when ANY of its ``tables`` buckets
+    collides with history — pure LSH collision semantics, no exact
+    re-rank against history (that would require storing vectors; same
+    accepted trade as the minhash band probe).  Collision probability
+    for a pair at angle θ: ``1-(1-p^bits)^tables`` with ``p = 1-θ/π`` —
+    at the defaults (12 bits × 24 tables), cosine 0.95 collides with
+    p≈1.0, cosine 0.5 with p≈0.17: pick ``bits`` for the precision side
+    of YOUR threshold (higher = fewer false drops, lower recall).
+
+    Geometry AND hyperplane seed are pinned per history dir
+    (``_sem_params.json``) — hyperplanes from a different seed produce
+    incomparable buckets, the silent-re-emit failure class again.
+    Commits reuse the crash-atomic ``run=<id>`` machinery;
+    ``compact_history(cols=("tbl", "bkt"))`` maintenance applies.
+    Documents with no embedding are KEPT and add nothing to history
+    (no evidence — the analogue of too-short-to-shingle docs).
+
+    For the resumable-sink composition call with
+    ``update_history=False``, write the returned pinned frame, then
+    :func:`commit_semantic_history` after your sink's commit point.
+    """
+    from pyspark import StorageLevel
+    from pyspark.errors import AnalysisException
+
+    if pin not in ("localCheckpoint", "disk"):
+        raise ValueError(f"pin must be localCheckpoint|disk, got {pin!r}")
+    spark = df.sparkSession
+    emb = embeddings.select(F.col(id_col), F.col(vec_col)).join(
+        df.select(id_col), on=id_col, how="left_semi"
+    )
+    if dim is None:
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            # no embeddings at all: nothing to judge, nothing to commit
+            return df.localCheckpoint() if pin == "localCheckpoint" else df
+        dim = int(row["d"])
+    _check_history_params(
+        spark, history_dir,
+        {"dim": int(dim), "bits": int(bits), "tables": int(tables),
+         "seed": int(seed)},
+        fname="_sem_params.json", kind="semantic", for_write=update_history,
+    )
+    batch = semantic_dedup_corpus(
+        df, emb, id_col, dim=dim, threshold=threshold,
+        vec_col=vec_col, bits=bits, tables=tables,
+    )
+    buckets = _semantic_bucket_rows(
+        emb, id_col, vec_col, dim, bits, tables, seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _fold_legacy_layout(spark, history_dir, for_write=update_history)
+    try:
+        hist = spark.read.parquet(history_dir).select("tbl", "bkt")
+        have_history = True
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
+        have_history = False
+    if have_history:
+        seen = (
+            buckets.join(hist, on=["tbl", "bkt"])
+            .select("doc_id")
+            .distinct()
+            .withColumnRenamed("doc_id", id_col)
+        )
+        if broadcast_seen:
+            seen = F.broadcast(seen)
+        fresh = batch.join(seen, on=id_col, how="left_anti")
+    else:
+        fresh = batch
+    if pin == "disk":
+        fresh = fresh.persist(StorageLevel.DISK_ONLY)
+        fresh.count()
+    else:
+        fresh = fresh.localCheckpoint()
+    if update_history:
+        fresh_buckets = buckets.join(
+            fresh.select(F.col(id_col).alias("doc_id")), on="doc_id"
+        ).select("tbl", "bkt")
+        _commit_history_run(fresh_buckets, history_dir, cols=("tbl", "bkt"))
+    buckets.unpersist()
+    return fresh
+
+
+def commit_semantic_history(
+    fresh: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    history_dir: str,
+    dim: int,
+    bits: int = 12,
+    tables: int = 24,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Deferred commit for the ``update_history=False`` composition:
+    append the surviving docs' bucket rows AFTER your sink's commit
+    point (validates the pinned geometry first)."""
+    spark = fresh.sparkSession
+    _check_history_params(
+        spark, history_dir,
+        {"dim": int(dim), "bits": int(bits), "tables": int(tables),
+         "seed": int(seed)},
+        fname="_sem_params.json", kind="semantic", for_write=True,
+    )
+    _fold_legacy_layout(spark, history_dir, for_write=True)
+    emb = embeddings.select(F.col(id_col), F.col(vec_col)).join(
+        fresh.select(id_col), on=id_col, how="left_semi"
+    )
+    rows = _semantic_bucket_rows(
+        emb, id_col, vec_col, dim, bits, tables, seed
+    ).select("tbl", "bkt")
+    _commit_history_run(rows, history_dir, cols=("tbl", "bkt"))

@@ -173,3 +173,177 @@ class TestSemanticDedupCli:
         )
         assert rc == 2
         assert "--semantic-embeddings" in capsys.readouterr().err
+
+
+class TestSemanticHistory:
+    """Cross-run semantic dedup vs a hyperplane-bucket history: two-run
+    semantics, no-embedding pass-through, geometry/seed pinning, the
+    deferred-commit composition, and compaction."""
+
+    def _run(self, spark, rows, emb_rows, hd, **kw):
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        emb = spark.createDataFrame(
+            emb_rows, "doc_id: long, embedding: array<double>"
+        )
+        return D.semantic_dedup_against_history(
+            df, emb, "doc_id", hd, threshold=0.99, **kw
+        )
+
+    def test_two_run_semantics(self, spark, tmp_path):
+        hd = str(tmp_path / "sh")
+        out1 = self._run(
+            spark,
+            [(1, "a"), (2, "b"), (4, "c")],
+            [(1, _unit(0.0)), (2, _unit(2.0)), (4, _unit(60.0))],
+            hd,
+        )
+        # within-batch: 2 collapses into 1; 4 isolated
+        assert sorted(r["doc_id"] for r in out1.collect()) == [1, 4]
+        out2 = self._run(
+            spark,
+            [(10, "near copy of 1"), (11, "fresh"), (12, "no embedding")],
+            [(10, _unit(1.0)), (11, _unit(240.0))],
+            hd,
+        )
+        # 10 collides with kept doc 1's buckets; 11 is fresh; 12 has no
+        # embedding -> kept (no evidence)
+        assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
+        # run 2's survivors are history now
+        out3 = self._run(
+            spark, [(20, "near copy of 11")], [(20, _unit(241.0))], hd
+        )
+        assert out3.count() == 0
+
+    def test_geometry_and_seed_pinned(self, spark, tmp_path):
+        hd = str(tmp_path / "sh")
+        self._run(spark, [(1, "a")], [(1, _unit(0.0))], hd)
+        import os
+
+        assert os.path.exists(f"{hd}/_sem_params.json")
+        with pytest.raises(ValueError, match="incomparable"):
+            self._run(spark, [(2, "b")], [(2, _unit(5.0))], hd, bits=4)
+        with pytest.raises(ValueError, match="incomparable"):
+            self._run(spark, [(2, "b")], [(2, _unit(5.0))], hd, seed=7)
+
+    def test_deferred_commit_composition(self, spark, tmp_path):
+        hd = str(tmp_path / "sh")
+        df = spark.createDataFrame(
+            [(1, "a"), (4, "c")], "doc_id: long, text: string"
+        )
+        emb = spark.createDataFrame(
+            [(1, _unit(0.0)), (4, _unit(60.0))],
+            "doc_id: long, embedding: array<double>",
+        )
+        fresh = D.semantic_dedup_against_history(
+            df, emb, "doc_id", hd, threshold=0.99, update_history=False
+        )
+        assert fresh.count() == 2
+        # nothing committed yet: a re-probe of the same docs passes
+        again = D.semantic_dedup_against_history(
+            df, emb, "doc_id", hd, threshold=0.99, update_history=False
+        )
+        assert again.count() == 2
+        D.commit_semantic_history(fresh, emb, "doc_id", hd, dim=8)
+        out = self._run(
+            spark, [(10, "near copy")], [(10, _unit(1.0))], hd
+        )
+        assert out.count() == 0
+
+    def test_compaction_keeps_probe_semantics(self, spark, tmp_path):
+        hd = str(tmp_path / "sh")
+        self._run(spark, [(1, "a")], [(1, _unit(0.0))], hd)
+        self._run(spark, [(5, "e")], [(5, _unit(120.0))], hd)
+        D.compact_history(spark, hd, cols=("tbl", "bkt"))
+        out = self._run(
+            spark, [(10, "x"), (11, "y")],
+            [(10, _unit(1.0)), (11, _unit(121.0))], hd,
+        )
+        assert out.count() == 0
+
+
+class TestSemanticHistoryCli:
+    def test_filter_semantic_history_across_runs(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """filter --semantic-history: run 2 drops a page whose EMBEDDING
+        collides with a run-1 kept page (different url and text, so no
+        other stage could explain the drop); bucket commits land only
+        after the write."""
+        import json
+
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        long_text = (
+            "a perfectly ordinary web page with enough words to pass "
+            "every quality rule in the default profile of this engine "
+            "and some more filler words for good measure today"
+        )
+
+        def _pages(rows):
+            return spark.createDataFrame(
+                rows, "url string, text string"
+            ).selectExpr(
+                "url", "timestamp('2024-01-01') as warc_ts",
+                "cast(null as binary) as html", "text",
+                "'en' as lang",
+            )
+
+        emb1 = spark.createDataFrame(
+            [("https://a.com/1", _unit(0.0)), ("https://b.com/2", _unit(90.0))],
+            "url string, embedding array<double>",
+        )
+        e1 = str(tmp_path / "emb1")
+        emb1.write.parquet(e1)
+        in1 = str(tmp_path / "in1")
+        _pages([
+            ("https://a.com/1", long_text + " alpha"),
+            ("https://b.com/2", long_text + " beta"),
+        ]).write.parquet(in1)
+        hd = str(tmp_path / "semhist")
+        rc = cli.main(
+            ["filter", "--input", in1, "--output", str(tmp_path / "o1"),
+             "--buckets", "2", "--semantic-history", hd,
+             "--semantic-embeddings", e1]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["semantic_history_dir"] == hd
+        assert spark.read.parquet(str(tmp_path / "o1") + "/data").count() == 2
+
+        # run 2: new url/text, embedding ~= run-1 doc A; plus one fresh
+        emb2 = spark.createDataFrame(
+            [("https://c.com/3", _unit(1.0)), ("https://d.com/4", _unit(200.0))],
+            "url string, embedding array<double>",
+        )
+        e2 = str(tmp_path / "emb2")
+        emb2.write.parquet(e2)
+        in2 = str(tmp_path / "in2")
+        _pages([
+            ("https://c.com/3", long_text + " gamma rewritten"),
+            ("https://d.com/4", long_text + " delta"),
+        ]).write.parquet(in2)
+        rc = cli.main(
+            ["filter", "--input", in2, "--output", str(tmp_path / "o2"),
+             "--buckets", "2", "--semantic-history", hd,
+             "--semantic-embeddings", e2]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        out2 = spark.read.parquet(str(tmp_path / "o2") + "/data")
+        urls = sorted(r["url"] for r in out2.select("url").collect())
+        assert urls == ["https://d.com/4"]
+
+    def test_semantic_history_requires_embeddings(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(
+            ["filter", "--documents", "/root/testdata/sf0.001",
+             "--output", str(tmp_path / "o"),
+             "--semantic-history", str(tmp_path / "h")]
+        )
+        assert rc == 2
+        assert "--semantic-history requires" in capsys.readouterr().err
