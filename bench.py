@@ -851,6 +851,28 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
             )
         ),
     )
+    # cross-run SemDeDup (cli filter --semantic-history): history
+    # bootstrapped from the expanded corpus's buckets, the timed run
+    # probes a batch of near-copies (same vectors, new ids) — the
+    # steady-state cross-dump cost at a worst-case dup rate
+    sem_dir = tempfile.mkdtemp(prefix="bench_semhist_") + "/sh"
+    dedup.semantic_dedup_against_history(
+        big_emb.select("vec_id"), big_emb, "vec_id", sem_dir,
+        dim=64, threshold=0.9,
+    )
+    probe_emb = big_emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    clock(
+        "semantic_dedup_history",
+        lambda: _force(
+            dedup.semantic_dedup_against_history(
+                probe_emb.select("vec_id"), probe_emb, "vec_id",
+                sem_dir, dim=64, threshold=0.9, update_history=False,
+            )
+        ),
+    )
+    shutil.rmtree(sem_dir.rsplit("/", 1)[0], ignore_errors=True)
     big_emb.unpersist()
 
     # relational headliners at the raw sf tables — best-of-2 (VERDICT r4
