@@ -73,6 +73,14 @@ def main() -> None:
                     "dedup, then drop docs whose LSH band hashes collide "
                     "with any previously-kept doc; band rows commit after "
                     "the write completes (batch only)")
+    ap.add_argument("--history-bloom", action="store_true",
+                    help="with --dedup-history/--near-history: bloom "
+                    "prefilter of the history scan (exact results)")
+    ap.add_argument("--semantic-history", default=None, metavar="DIR",
+                    help="cross-run SemDeDup vs a hyperplane-bucket "
+                    "history (requires --semantic-embeddings)")
+    ap.add_argument("--semantic-embeddings", default=None, metavar="PARQUET",
+                    help="url -> embedding mapping for --semantic-history")
     ap.add_argument("--domain-threshold", type=float, default=None,
                     metavar="RATE",
                     help="drop WHOLE domains whose keep-rate under the "
@@ -93,6 +101,11 @@ def main() -> None:
                         is not None):
         ap.error("--near-history/--domain-threshold are batch-only "
                  "(both need a corpus-snapshot view)")
+    if args.semantic_history and not args.semantic_embeddings:
+        ap.error("--semantic-history requires --semantic-embeddings")
+    if args.history_bloom and not (args.dedup_history or args.near_history):
+        ap.error("--history-bloom requires --dedup-history or "
+                 "--near-history")
 
     from mysql_data_quality_spark.core.session import get_spark
     from mysql_data_quality_spark.pipeline import pages as P
@@ -156,6 +169,9 @@ def main() -> None:
             pages = dedup_against_history(
                 pages, "url", "text", args.dedup_history,
                 update_history=False, keep_hash_col=True,
+                history_prefilter=(
+                    "bloom" if args.history_bloom else "none"
+                ),
             )
             # commit_history must read THIS pinned probe frame, not the
             # output of later stages: history means "seen and decided"
@@ -169,8 +185,26 @@ def main() -> None:
             pages = near_dedup_against_history(
                 pages, "url", "text", args.near_history,
                 update_history=False,
+                history_prefilter=(
+                    "bloom" if args.history_bloom else "none"
+                ),
             )
             near_probe = pages
+        sem_probe = sem_emb = None
+        sem_dim = None
+        if args.semantic_history:
+            from mysql_data_quality_spark.operators.dedup import (
+                semantic_dedup_against_history,
+            )
+
+            sem_emb = spark.read.parquet(args.semantic_embeddings)
+            row = sem_emb.selectExpr("size(embedding) as d").first()
+            sem_dim = int(row["d"]) if row else None
+            pages = semantic_dedup_against_history(
+                pages, sem_emb, "url", args.semantic_history,
+                dim=sem_dim, update_history=False,
+            )
+            sem_probe = pages
         if args.domain_threshold is not None:
             from mysql_data_quality_spark.operators.domains import (
                 domain_quality_filtered,
@@ -182,12 +216,31 @@ def main() -> None:
             # dedup_history/near_history pin internally; plain --dedup
             # does not
             if (args.dedup and not args.dedup_history
-                    and not args.near_history):
+                    and not args.near_history
+                    and not args.semantic_history):
                 pages = pages.localCheckpoint()
             pages = domain_quality_filtered(
                 pages, args.domain_threshold,
                 min_docs=args.domain_min_docs,
             )
+            if args.dedup_history or args.near_history or args.semantic_history:
+                # domain keep-rate is corpus-relative, not a content
+                # property: commit only domain-SURVIVORS so a doc dropped
+                # solely by this run's domain stats is re-judged on
+                # redelivery (same contract as cli.py, r5 ADVICE)
+                survivors = pages.select("url")
+                if args.dedup_history:
+                    hist_probe = hist_probe.join(
+                        survivors, "url", "left_semi"
+                    )
+                if args.near_history:
+                    near_probe = near_probe.join(
+                        survivors, "url", "left_semi"
+                    )
+                if args.semantic_history:
+                    sem_probe = sem_probe.join(
+                        survivors, "url", "left_semi"
+                    )
         li_model = None
         if args.langid_model:
             from mysql_data_quality_spark.rules.langid_trained import (
@@ -245,6 +298,16 @@ def main() -> None:
                 near_probe, "url", "text", args.near_history
             )
             out["near_history_dir"] = args.near_history
+        if args.semantic_history and sem_dim is not None:
+            from mysql_data_quality_spark.operators.dedup import (
+                commit_semantic_history,
+            )
+
+            commit_semantic_history(
+                sem_probe, sem_emb, "url", args.semantic_history,
+                dim=sem_dim,
+            )
+            out["semantic_history_dir"] = args.semantic_history
         print(json.dumps(out))
     finally:
         spark.stop()
