@@ -462,6 +462,10 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     """Dispatch on mime when given, else sniff the magic bytes."""
     if mime == "image/png":
         return decode_png(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        from mysql_data_quality_spark.functions.jpegio import decode_jpeg
+
+        return decode_jpeg(payload)
     if mime == "image/gif":
         return decode_gif(payload)
     if mime in ("image/bmp", "image/x-ms-bmp"):
@@ -473,13 +477,17 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mysql_data_quality_spark.functions.jpegio import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     raise ImageFormatError(
         f"unsupported image payload (mime={mime!r}, "
-        f"magic={payload[:2]!r}); numpy codecs cover PNG, GIF, BMP and PPM"
+        f"magic={payload[:2]!r}); numpy codecs cover JPEG, PNG, GIF, BMP, PPM"
     )
 
 

@@ -1,10 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode: PNG/GIF/BMP/PPM payloads decode for REAL through the pure-numpy codecs
+Decode: JPEG/PNG/GIF/BMP/PPM payloads decode for REAL through the pure-numpy codecs
 in ``functions/imageio.py`` (public byte layouts, no external libs), so
 feature extraction and resize run on actual pixels in this environment;
-other formats (JPEG/WebP/video) still need PIL/ffmpeg and raise the
+other formats (WebP/AVIF/video) still need PIL/ffmpeg and raise the
 typed ``DecodeUnavailable`` env gate.  The default code paths keep the
 deterministic byte-hash stand-ins (they accept ANY payload, which the
 opaque-bytes oracle corpus requires); ``use_real_decode=True`` switches
@@ -55,7 +55,7 @@ FEATURE_SCHEMA = T.StructType(
 def real_decode(payload: bytes, mime: str):
     """Real image decode -> uint8 HxWx3 numpy array.
 
-    PNG, GIF, BMP and PPM decode through the pure-numpy codecs
+    JPEG (baseline), PNG, GIF, BMP and PPM decode through the pure-numpy codecs
     (``functions/imageio.py`` — public byte layouts, no external libs),
     so the real path is exercisable in THIS environment (r5 verdict ask
     #7).  Other formats fall through to PIL when importable, else raise
@@ -65,7 +65,7 @@ def real_decode(payload: bytes, mime: str):
     try:
         return imageio.decode_image(payload or b"", mime)
     except imageio.ImageFormatError:
-        pass  # not PNG/GIF/BMP/PPM: needs a codec library
+        pass  # not JPEG/PNG/GIF/BMP/PPM: needs a codec library
     try:
         import io
 
@@ -73,7 +73,7 @@ def real_decode(payload: bytes, mime: str):
         import PIL.Image
     except ImportError as e:
         raise DecodeUnavailable(
-            f"payload (mime={mime!r}) is not PNG/GIF/BMP/PPM and PIL is not "
+            f"payload (mime={mime!r}) is not JPEG/PNG/GIF/BMP/PPM and PIL is not "
             "installed in this environment"
         ) from e
     with PIL.Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
@@ -117,7 +117,7 @@ def extract_features(
 
     ``use_real_decode=True`` computes the feature from DECODED CONTENT,
     dispatched per row ``kind``: image rows through :func:`real_decode`
-    (PNG/GIF/BMP/PPM via the numpy codecs work everywhere; other formats need
+    (JPEG/PNG/GIF/BMP/PPM via the numpy codecs work everywhere; other formats need
     PIL), audio rows through the numpy WAV codec
     (``functions/audioio.py``); video (and non-WAV audio) raises the
     typed :class:`DecodeUnavailable` env gate.  The default stays the
@@ -222,7 +222,7 @@ def resize_images(
     ``use_real_decode=True`` runs the REAL kernel: decode
     (:func:`real_decode`), deterministic nearest-neighbor resize, and
     re-encode as PPM — ``resized_sha256``/``resized_bytes`` then describe
-    actual resized bytes (PNG/GIF/BMP/PPM inputs work in this environment via
+    actual resized bytes (JPEG/PNG/GIF/BMP/PPM inputs work in this environment via
     the numpy codecs).  The default keeps the deterministic stand-in —
     sha256(payload || WxH) — which accepts any payload, so the
     Spark-side contract (batch shape, schema, partition invariance,

@@ -246,8 +246,8 @@ class TestRealDecodeDispatch:
         assert (MM.real_decode(IIO.encode_bmp(a), None) == a).all()
 
     def test_unknown_format_env_gated(self):
-        # JPEG: a real format the numpy codecs deliberately don't cover
-        jpeg_magic = b"\xff\xd8\xff\xe0" + b"\0" * 64
+        # WebP: a real format the numpy codecs deliberately don't cover
+        webp_magic = b"RIFF\x00\x01\x00\x00WEBPVP8 " + b"\0" * 64
         try:
             import PIL  # noqa: F401
 
@@ -255,7 +255,7 @@ class TestRealDecodeDispatch:
         except ImportError:
             pass
         with pytest.raises(MM.DecodeUnavailable):
-            MM.real_decode(jpeg_magic, "image/jpeg")
+            MM.real_decode(webp_magic, "image/webp")
 
     def test_corrupt_png_env_gated_not_crash(self):
         """Valid magic + garbage body: ImageFormatError inside the codec
