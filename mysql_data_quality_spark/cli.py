@@ -833,9 +833,12 @@ def cmd_compact_history(args) -> int:
     ingest batches, not concurrently with an appending job."""
     from mysql_data_quality_spark.operators.dedup import compact_history
 
-    cols = (
-        ("band", "bh") if getattr(args, "near", False) else ("text_md5",)
-    )
+    if getattr(args, "semantic", False):
+        cols = ("tbl", "bkt")
+    elif getattr(args, "near", False):
+        cols = ("band", "bh")
+    else:
+        cols = ("text_md5",)
     with _Session(args.cores) as spark:
         n = compact_history(spark, args.history_dir, cols=cols)
         print(json.dumps({"history_dir": args.history_dir,
@@ -1439,6 +1442,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="the dir is a --near-history band-hash history "
         "(distinct over (band, bh) instead of text_md5)",
+    )
+    ch.add_argument(
+        "--semantic",
+        action="store_true",
+        help="the dir is a --semantic-history bucket history "
+        "(distinct over (tbl, bkt))",
     )
     ch.set_defaults(fn=cmd_compact_history)
 

@@ -260,6 +260,28 @@ class TestSemanticHistory:
         )
         assert out.count() == 0
 
+    def test_cli_compact_semantic(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        import json as _json
+        import pathlib
+
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+        hd = str(tmp_path / "sh")
+        self._run(spark, [(1, "a")], [(1, _unit(0.0))], hd)
+        self._run(spark, [(5, "e")], [(5, _unit(120.0))], hd)
+        rc = cli.main(["compact-history", hd, "--semantic"])
+        assert rc == 0
+        payload = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert payload["distinct_hashes"] > 0
+        assert len(list(pathlib.Path(hd).glob("run=*"))) == 1
+        out = self._run(spark, [(10, "x")], [(10, _unit(1.0))], hd)
+        assert out.count() == 0
+
 
 class TestSemanticHistoryCli:
     def test_filter_semantic_history_across_runs(
