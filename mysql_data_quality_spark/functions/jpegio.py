@@ -365,7 +365,6 @@ def encode_jpeg(
         if vlen:
             writer.write(vbits, vlen)
         # AC until this block's terminator consumed
-        nz_seen = 0
         coeffs_done = 0
         while coeffs_done < 63:
             kind, symbol, vbits, vlen = next(iters[ci])
@@ -379,7 +378,6 @@ def encode_jpeg(
                 coeffs_done += 16
             else:
                 coeffs_done += (symbol >> 4) + 1
-            nz_seen += 1
 
     for my in range(mcuy):
         for mx in range(mcux):
