@@ -654,15 +654,20 @@ def cmd_filter(args) -> int:
                 res, "pages", Path(args.output) / "metrics"
             )
             stats["metrics_reports"] = {k: str(v) for k, v in paths.items()}
-        if (hist_dir or near_hist or sem_probe is not None) and dom_thr is not None:
+        if (hist_dir or near_hist or sem_probe is not None) and (
+            dom_thr is not None or dsir_tgt is not None
+        ):
             # domain keep-rate is CORPUS-RELATIVE, not a content
             # property: a doc dropped solely because its domain scored
             # badly THIS run must not be suppressed from every future
-            # run (r5 ADVICE).  Commit only the domain-survivors —
-            # semi-join the pinned probe frames against the post-domain
+            # run (r5 ADVICE).  The SAME holds for DSIR (r6 ADVICE):
+            # its keep decision is a batch-statistics lottery (ratio
+            # table + E[w] are corpus-relative, rate < 1 by design), so
+            # a doc dropped by this run's draw must stay re-judgeable
+            # on redelivery.  Commit only the corpus-survivors —
+            # semi-join the pinned probe frames against the post-stage
             # corpus, accepting that a byte-identical redelivery of a
-            # domain-dropped doc is re-judged next run (the correct
-            # trade: its domain may score fine in that corpus).
+            # dropped doc is re-judged next run (the correct trade).
             survivors = pages.select("url")
             if hist_dir:
                 hist_probe = hist_probe.join(survivors, "url", "left_semi")

@@ -76,13 +76,23 @@ def _quant_table(q: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 def _huffman_lengths(freqs: dict, max_len: int = 16) -> dict:
     """Symbol -> code length, canonical Huffman with a 16-bit cap
-    (JPEG limit).  Deterministic: ties break on symbol value."""
+    (JPEG limit).  Deterministic: ties break on symbol value.
+
+    A reserved dummy symbol (T.81 K.2's V=256 trick, here -1 so it pops
+    FIRST among minimum-frequency leaves and lands at maximum depth) is
+    added before tree building and dropped after: the canonical
+    assignment then leaves exactly one deepest leaf unused, so no real
+    symbol ever receives the all-1-bits codeword of maximum length —
+    Annex C reserves that code because it aliases the 1-bits padding
+    before markers, and strict foreign decoders can misparse streams
+    that use it (r6 ADVICE)."""
     import heapq
 
     if not freqs:
         return {}
-    if len(freqs) == 1:
-        return {next(iter(freqs)): 1}
+    _DUMMY = -1
+    assert _DUMMY not in freqs
+    freqs = {**freqs, _DUMMY: 1}
     heap = [(f, sym, (sym,)) for sym, f in sorted(freqs.items())]
     heapq.heapify(heap)
     depth: dict = {s: 0 for s in freqs}
@@ -106,6 +116,9 @@ def _huffman_lengths(freqs: dict, max_len: int = 16) -> dict:
                 key=lambda s: (depth[s], s),
             )
             depth[s] += 1
+    # drop the reserved dummy: Kraft becomes < 1 by 2^-depth(dummy) and
+    # the canonical packing leaves the trailing (all-ones) code unused
+    del depth[_DUMMY]
     return depth
 
 
@@ -420,7 +433,24 @@ def encode_jpeg(
 # decoder
 # ---------------------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 HxWx3 (grayscale expanded)."""
+    """Baseline JPEG -> uint8 HxWx3 (grayscale expanded).
+
+    Crawl payloads are hostile: any malformed-but-magic-valid structure
+    (scan referencing an absent component id, missing DQT/DHT table ids,
+    truncated tables) must surface as the TYPED :class:`ImageFormatError`
+    — ``multimodal.real_decode`` only catches that to fall through to its
+    unavailable path, so a bare ``StopIteration``/``KeyError``/
+    ``IndexError`` here would kill a whole Spark stage on one corrupt
+    image (r6 ADVICE)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except ImageFormatError:
+        raise
+    except Exception as exc:  # hostile-input boundary: typed error out
+        raise ImageFormatError(f"malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ImageFormatError("not a JPEG payload")
     pos = 2
@@ -495,8 +525,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                    (c for c in frame["comps"] if c["id"] == cs), None
                 )
+                if comp is None:
+                    raise ImageFormatError(
+                        f"JPEG scan references component id {cs} "
+                        "absent from SOF"
+                    )
                 scan.append((comp, tt >> 4, tt & 0xF))
             data_start = pos + 2 + ln
             return _decode_scan(

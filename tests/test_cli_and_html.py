@@ -912,6 +912,78 @@ class TestCliFilterHistory:
         out2 = spark.read.parquet(str(tmp_path / "o2") + "/data")
         assert out2.where(F.col("url") == good_url).count() == 1
 
+    def test_dsir_dropped_docs_do_not_commit_to_history(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """r6 ADVICE: DSIR's keep decision is corpus-relative sampling
+        (ratio table and E[w] are batch statistics, rate < 1 by
+        design), so a doc dropped by this run's lottery must not be
+        permanently suppressed by the exact-dedup history.  Only DSIR
+        SURVIVORS may commit hashes."""
+        from pyspark.sql import functions as F
+
+        from mysql_data_quality_spark import cli
+
+        monkeypatch.chdir(tmp_path)
+
+        def _pages(rows):
+            return (
+                spark.createDataFrame(rows, "url: string, text: string")
+                .withColumn("lang", F.lit("en"))
+                .withColumn("warc_ts", F.current_timestamp())
+                .withColumn("html", F.lit(None).cast("binary"))
+            )
+
+        in_domain = "the spark engine compiles the query plan into stages"
+        off_domain = "grandma's lemon cake recipe needs three fresh eggs"
+        rows = [
+            (f"https://site{i}.org/p", (in_domain if i < 8 else off_domain)
+             + f" tail {i}")
+            for i in range(16)
+        ]
+        hist = str(tmp_path / "hist")
+        in1 = str(tmp_path / "in1")
+        _pages(rows).write.parquet(in1)
+        tgt = spark.createDataFrame(
+            [(in_domain,)], "text: string"
+        )
+        tdir = str(tmp_path / "tgt")
+        tgt.write.parquet(tdir)
+        rc = cli.main(
+            ["filter", "--input", in1, "--output", str(tmp_path / "o1"),
+             "--buckets", "2", "--dedup-history", hist,
+             "--dsir-target", tdir, "--dsir-rate", "0.4",
+             "--dsir-temperature", "0.3"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        shipped = {
+            r["url"]
+            for r in spark.read.parquet(
+                str(tmp_path / "o1") + "/data"
+            ).collect()
+        }
+        dropped = {u for u, _ in rows} - shipped
+        assert dropped, "test needs at least one DSIR-dropped doc"
+        # ONLY survivors committed to the history
+        committed = spark.read.parquet(hist).count()
+        assert committed == len(shipped)
+        # run 2: redeliver one dropped doc alone — the history must not
+        # suppress it (it re-enters the lottery; with rate 0.4 it may
+        # still lose, so only assert the history PROBE kept it by
+        # checking its hash was never committed)
+        from mysql_data_quality_spark.operators.dedup import (
+            dedup_against_history,
+        )
+
+        redelivered = _pages(
+            [(u, t) for u, t in rows if u in dropped][:1]
+        )
+        probe = dedup_against_history(
+            redelivered, "url", "text", hist, update_history=False
+        )
+        assert probe.count() == 1
+
 
 class TestCliStreamMetrics:
     def test_stream_metrics_e2e(self, spark, tmp_path, monkeypatch, capsys):
