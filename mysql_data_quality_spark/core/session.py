@@ -39,6 +39,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism floor (guide §6): several operators are now
+        # pure maps with NO exchange (winnowing, token stats, the rule
+        # plan), so their parallelism equals the scan split count.  A
+        # small parquet input (< openCost x cores bytes) otherwise
+        # becomes ONE split = one task pinning one core.  minPartitionNum
+        # scales with the session's parallelism (not a local[32]
+        # constant) and the lower openCost only affects sub-4MB files;
+        # at production scale (files >= maxPartitionBytes) both are
+        # no-ops because bytesPerCore dominates.
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.sql.files.minPartitionNum", str(cores * 2))
         .config("spark.sql.session.timeZone", "UTC")
         # NOTE: 8g measured faster than 24g/48g for the string-heavy filter
         # scan on this box (GC dynamics); see BENCH.md

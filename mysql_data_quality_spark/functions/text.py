@@ -99,10 +99,13 @@ def mean_word_len_sql(toks: str) -> str:
 # ---------------------------------------------------------------------------
 def stop_count_col(toks: Column, lowered: bool = False) -> Column:
     """``lowered=True`` skips per-token lower() when the caller already
-    provides lowercase tokens (one transform pass shared by all rules)."""
-    stop = F.lit(list(STOPWORDS))  # array literal, broadcast into codegen
-    key = (lambda t: F.array_contains(stop, t)) if lowered else (
-        lambda t: F.array_contains(stop, F.lower(t))
+    provides lowercase tokens (one transform pass shared by all rules).
+
+    Membership via ``isin`` (optimizer converts the literal ``In`` to a
+    hash-set ``InSet``) rather than ``array_contains`` over the literal
+    array — same semantics (tokens never null), no linear scan."""
+    key = (lambda t: t.isin(*STOPWORDS)) if lowered else (
+        lambda t: F.lower(t).isin(*STOPWORDS)
     )
     return F.size(F.filter(toks, key)).cast("bigint")
 

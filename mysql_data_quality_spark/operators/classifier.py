@@ -101,9 +101,27 @@ def train_quality_classifier(
     serializable, and everything :func:`score_col` needs (inference has
     NO MLlib dependency).  Missing feature columns are derived from
     ``text_col`` first."""
+    from pyspark import StorageLevel
     from pyspark.ml.classification import LogisticRegression
 
     data = _assembled(_feature_frame(df, text_col), label_col)
+    # Persist the assembled training frame ONCE, then coalesce to a
+    # data-adaptive partition count before the fit: L-BFGS launches one
+    # treeAggregate job per iteration, and training corpora are small by
+    # contract (distillation samples), so max_iter × corpus-partitioning
+    # near-empty tasks are pure scheduler overhead (measured, isolated
+    # A/B at the 5k-row bench fit: 13.7/12.4s → 8.9/5.9s cold/warm).
+    # coalesce over the persisted blocks merges without a shuffle or
+    # recompute.
+    data = data.persist(StorageLevel.MEMORY_AND_DISK)
+    n = data.count()
+    parts = max(
+        1,
+        min(
+            int(df.sparkSession.sparkContext.defaultParallelism),
+            (n + 1999) // 2000,
+        ),
+    )
     lr = LogisticRegression(
         featuresCol="_qc_vec",
         labelCol="_qc_label",
@@ -111,7 +129,10 @@ def train_quality_classifier(
         maxIter=max_iter,
         standardization=True,
     )
-    model = lr.fit(data)
+    try:
+        model = lr.fit(data.coalesce(parts))
+    finally:
+        data.unpersist()
     weights = dict(
         zip(feature_cols(), (float(w) for w in model.coefficients))
     )

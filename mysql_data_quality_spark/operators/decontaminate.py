@@ -41,13 +41,30 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     (exact-parity-tested at gate scale)."""
     from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
 
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # tokens materialized as their own projection column first: ngrams_col
+    # references the token array ~n+2 times (the n-1 shifted zip_with views
+    # + size guards), and with the tokenizer expression inlined each
+    # reference re-ran the split+filter per row (n≈13 tokenizations/doc).
+    # As a multiply-referenced non-cheap alias the column survives
+    # CollapseProject, so tokenization runs ONCE per row and the gram
+    # builder slices an attribute.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.lower(F.col(text_col))).alias("_dc_toks"),
+    )
     grams = F.array_distinct(
-        F.transform(ngrams_col(toks, n), lambda g: F.xxhash64(g))
+        F.transform(
+            ngrams_col(F.col("_dc_toks"), n), lambda g: F.xxhash64(g)
+        )
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
-    )
+    # explode_outer + isNotNull: a plain explode makes Catalyst infer a
+    # `size(grams) > 0` filter that re-inlines the token+gram pipeline
+    # into a Filter below the Generate (one full extra evaluation per
+    # row); outer generates infer nothing, and gram hashes are never
+    # null, so filtering the generated attribute is row-identical.
+    return base.select(
+        "doc_id", F.explode_outer(grams).alias("gram")
+    ).where(F.col("gram").isNotNull())
 
 
 def contaminated_docs(

@@ -172,10 +172,24 @@ def exact_duplicate_groups(
 # word-shingle Jaccard (exact near-dup, all-pairs over shared shingles)
 # ---------------------------------------------------------------------------
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    toks = F.filter(
+    # Tokens are materialized as their OWN projection column before the
+    # shingle builder touches them: the builder's transform lambda slices
+    # the token array per shingle, and a higher-order-function lambda
+    # re-evaluates every subexpression of its body per element — with the
+    # split+filter pipeline inlined (the r6 shape) that re-tokenized the
+    # document once PER SHINGLE, O(tokens²) per doc (plan-verified:
+    # the split/filter tree appeared inside the shingle lambda AND in the
+    # size() guard).  As a multiply-referenced non-trivial alias the
+    # token column survives CollapseProject, so tokenization runs once
+    # per row and the lambda only slices an attribute (O(k) per element).
+    toks_expr = F.filter(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
         lambda t: F.length(t) > 0,
     )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks_expr.alias("_sh_toks")
+    )
+    toks = F.col("_sh_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = F.when(
@@ -186,7 +200,7 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("doc_id"), shingle.alias("shingles"))
+    return base.select("doc_id", shingle.alias("shingles"))
 
 
 def shingle_jaccard_pairs(

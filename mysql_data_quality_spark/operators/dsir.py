@@ -45,18 +45,27 @@ from mysql_data_quality_spark.operators.dedup import (
 DEFAULT_BUCKETS = 10_000
 
 
-def hashed_ngram_buckets(
-    text: Column, n_buckets: int = DEFAULT_BUCKETS
+def _bucket_hash(key: Column, n_buckets: int, hash_family: str) -> Column:
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+    if hash_family == "md5_60bit":
+        return F.pmod(md5_int60_col(key), F.lit(n_buckets))
+    raise ValueError(
+        f"hash_family must be xxhash64|md5_60bit: {hash_family!r}"
+    )
+
+
+def _buckets_from_toks(
+    toks: Column, n_buckets: int, hash_family: str
 ) -> Column:
-    """array<long> of hashed feature buckets: one per unigram
-    (``u:tok``) and one per bigram (``b:tok1 tok2``) of the
-    lowercased whitespace tokens.  md5-derived so DuckDB computes the
-    identical buckets."""
-    toks = tokens_col(F.lower(text))
+    """Bucket array from an already-materialized token-array column.
+    ``toks`` should be an attribute reference at DataFrame scale (it is
+    referenced 4x below; an inlined tokenizer expression would re-split
+    the text once per reference)."""
     uni = F.transform(
         toks,
-        lambda t: F.pmod(
-            md5_int60_col(F.concat(F.lit("u:"), t)), F.lit(n_buckets)
+        lambda t: _bucket_hash(
+            F.concat(F.lit("u:"), t), n_buckets, hash_family
         ),
     )
     # bigrams via zip_with over two pre-sliced arrays: the HOF's array
@@ -70,15 +79,35 @@ def hashed_ngram_buckets(
         F.zip_with(
             F.slice(toks, F.lit(1), n - 1),
             F.slice(toks, F.lit(2), n - 1),
-            lambda a, b: F.pmod(
-                md5_int60_col(
-                    F.concat(F.lit("b:"), a, F.lit(" "), b)
-                ),
-                F.lit(n_buckets),
+            lambda a, b: _bucket_hash(
+                F.concat(F.lit("b:"), a, F.lit(" "), b),
+                n_buckets,
+                hash_family,
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return F.concat(uni, bi)
+
+
+def hashed_ngram_buckets(
+    text: Column,
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_family: str = "md5_60bit",
+) -> Column:
+    """array<long> of hashed feature buckets: one per unigram
+    (``u:tok``) and one per bigram (``b:tok1 tok2``) of the
+    lowercased whitespace tokens.
+
+    ``hash_family``: ``"md5_60bit"`` (default here — the cross-engine
+    family :func:`hashed_ngram_buckets_sql` replays exactly; the parity
+    tests use this Column builder directly) or ``"xxhash64"`` (one JVM
+    hash per gram instead of md5-hex + string-conv — the production
+    family the shipped :func:`dsir_resample` stage uses; same repo
+    convention as minhash/winnowing: algorithms gate-checked on the md5
+    family, production runs xxhash64)."""
+    return _buckets_from_toks(
+        tokens_col(F.lower(text)), n_buckets, hash_family
+    )
 
 
 def hashed_ngram_buckets_sql(
@@ -102,16 +131,36 @@ def hashed_ngram_buckets_sql(
     return f"list_concat({uni}, {bi})"
 
 
+def _gram_buckets(
+    df: DataFrame, text_col: str, n_buckets: int, hash_family: str,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(…keep_cols, bucket) exploded gram-bucket rows; the token array is
+    materialized as its own projection column first so the tokenizer runs
+    once per row (it is referenced 4x by the bucket builder)."""
+    base = df.select(
+        *keep_cols,
+        tokens_col(F.lower(F.col(text_col))).alias("_ds_toks"),
+    )
+    # explode_outer + isNotNull: a plain explode would make Catalyst
+    # infer a size()>0 filter that re-inlines the whole bucket pipeline
+    # below the Generate (decontaminate.py has the same note); bucket
+    # values are never null, so the row sets are identical.
+    return base.select(
+        *keep_cols,
+        F.explode_outer(
+            _buckets_from_toks(F.col("_ds_toks"), n_buckets, hash_family)
+        ).alias("bucket"),
+    ).where(F.col("bucket").isNotNull())
+
+
 def _bucket_counts(
-    df: DataFrame, text_col: str, n_buckets: int
+    df: DataFrame, text_col: str, n_buckets: int,
+    hash_family: str = "md5_60bit",
 ) -> DataFrame:
     """(bucket, n): histogram of hashed ngram buckets over a corpus."""
     return (
-        df.select(
-            F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets)
-            ).alias("bucket")
-        )
+        _gram_buckets(df, text_col, n_buckets, hash_family)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -123,6 +172,7 @@ def dsir_log_ratios(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
+    hash_family: str = "md5_60bit",
 ) -> DataFrame:
     """(bucket, log_ratio): add-α-smoothed
     ``log p_target(bucket) − log p_raw(bucket)`` per feature bucket —
@@ -130,12 +180,12 @@ def dsir_log_ratios(
     in-domain sample (what you want more of); ``raw`` is the corpus
     being selected from (or an unbiased hash-sample of it —
     distributions only need proportions)."""
-    t = _bucket_counts(target, text_col, n_buckets).withColumnRenamed(
-        "n", "t_n"
-    )
-    r = _bucket_counts(raw, text_col, n_buckets).withColumnRenamed(
-        "n", "r_n"
-    )
+    t = _bucket_counts(
+        target, text_col, n_buckets, hash_family
+    ).withColumnRenamed("n", "t_n")
+    r = _bucket_counts(
+        raw, text_col, n_buckets, hash_family
+    ).withColumnRenamed("n", "r_n")
     # two bounded scalar totals; the histograms themselves stay frames
     t_total = t.agg(F.coalesce(F.sum("t_n"), F.lit(0))).collect()[0][0]
     r_total = r.agg(F.coalesce(F.sum("r_n"), F.lit(0))).collect()[0][0]
@@ -162,18 +212,17 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     length_normalize: bool = True,
+    hash_family: str = "md5_60bit",
 ) -> DataFrame:
     """(id, dsir_score): per-document importance log-weight = sum of
     its ngrams' log ratios, divided by the ngram count when
     ``length_normalize`` (recommended: otherwise long documents get
     extreme weights purely from length).  Docs with no ngrams score 0.
     The ratio table broadcasts (≤n_buckets rows); ngram rows shuffle as
-    (bucket, id) longs only."""
-    grams = corpus.select(
-        F.col(id_col),
-        F.explode(
-            hashed_ngram_buckets(F.col(text_col), n_buckets)
-        ).alias("bucket"),
+    (bucket, id) longs only.  ``hash_family`` must match the one the
+    ``ratios`` frame was built with."""
+    grams = _gram_buckets(
+        corpus, text_col, n_buckets, hash_family, keep_cols=(F.col(id_col),)
     )
     summed = (
         grams.join(F.broadcast(ratios), on="bucket", how="left")
@@ -207,6 +256,7 @@ def dsir_resample(
     temperature: float = 1.0,
     seed: int = 0,
     raw_sample_fraction: float = 1.0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The shipped stage: keep each corpus row with probability
     ``min(1, rate · w / E[w])`` where ``w = exp(dsir_score /
@@ -220,7 +270,15 @@ def dsir_resample(
     deterministic hash-sample of the corpus (what DSIR itself does —
     the ratio needs proportions, not counts), cutting the first gram
     pass proportionally: at 10^12 docs even 1% is a 10^10-doc
-    histogram.  The scoring pass always covers the full corpus."""
+    histogram.  The scoring pass always covers the full corpus.
+
+    ``hash_family`` defaults to ``"xxhash64"`` — ONE JVM hash per gram.
+    The md5 family (``"md5_60bit"``) exists for the DuckDB score twin
+    (md5-hex + string-conv per gram measured ~2x the whole stage); the
+    two families differ only in which grams collide into a shared
+    bucket (~n_grams/n_buckets either way), i.e. sampling noise of the
+    same estimator, not a semantic knob — the same xxhash64-production/
+    md5-oracle split as minhash and winnowing."""
     from mysql_data_quality_spark.operators.sampling import (
         hash_sample,
         unit_hash_col,
@@ -239,8 +297,13 @@ def dsir_resample(
         if raw_sample_fraction < 1.0
         else corpus
     )
-    ratios = dsir_log_ratios(raw_side, target, text_col, n_buckets, alpha)
-    scores = dsir_scores(corpus, ratios, id_col, text_col, n_buckets)
+    ratios = dsir_log_ratios(
+        raw_side, target, text_col, n_buckets, alpha, hash_family
+    )
+    scores = dsir_scores(
+        corpus, ratios, id_col, text_col, n_buckets,
+        hash_family=hash_family,
+    )
     w = F.exp(F.col("dsir_score") / F.lit(float(temperature)))
     weighted = scores.select(F.col(id_col), w.alias("_w"))
     from pyspark import StorageLevel

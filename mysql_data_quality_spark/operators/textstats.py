@@ -162,15 +162,13 @@ from per_gram group by doc_id
 # identical sets — the local-fingerprinting property plain md5/minhash
 # doesn't give (md5 breaks on 1-char edits; minhash is global).
 # ---------------------------------------------------------------------------
-def _winnowing_grams_col(text: Column, k: int, hasher=None) -> Column:
-    """array<bigint>: one hash per k-char gram of the normalized text
-    (default xxhash64; the md5 oracle variant passes a cross-engine
-    hasher).  Whitespace is collapsed and case folded first so
-    formatting edits don't shift every gram."""
-    from mysql_data_quality_spark.operators.dedup import normalized_text_col
-
+def _grams_from_norm(norm: Column, k: int, hasher=None) -> Column:
+    """array<bigint>: one hash per k-char gram of an ALREADY-normalized
+    text column.  ``norm`` should be an attribute reference (a column
+    materialized by a previous projection) when used at DataFrame scale:
+    the transform lambda re-evaluates its body per element, so an inlined
+    normalization expression would re-run its regex once per gram."""
     hasher = hasher or F.xxhash64
-    norm = normalized_text_col(text)
     n = F.length(norm)
     # NB: F.sequence(1, stop) counts DOWN when stop < 1, so gate on n >= k
     return F.when(
@@ -180,6 +178,16 @@ def _winnowing_grams_col(text: Column, k: int, hasher=None) -> Column:
             lambda i: hasher(norm.substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _winnowing_grams_col(text: Column, k: int, hasher=None) -> Column:
+    """array<bigint>: one hash per k-char gram of the normalized text
+    (default xxhash64; the md5 oracle variant passes a cross-engine
+    hasher).  Whitespace is collapsed and case folded first so
+    formatting edits don't shift every gram."""
+    from mysql_data_quality_spark.operators.dedup import normalized_text_col
+
+    return _grams_from_norm(normalized_text_col(text), k, hasher)
 
 
 def _winnowing_mins_col(grams: Column, w: int) -> Column:
@@ -239,36 +247,36 @@ def winnowing_fingerprints(
     to :func:`winnowing_fingerprints_col` but computed as a WINDOWED
     AGGREGATE over exploded gram rows instead of nested array lambdas.
 
-    Why: a higher-order-function lambda re-evaluates its body per
-    element, and Catalyst freely inlines the gram-building expression
-    into the window lambda (measured: 487s for 500 sf0.01 docs — O(n²·k)
-    re-hashing).  Exploding to (doc_id, pos, hash) rows and taking
-    ``min() OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW
-    AND w-1 FOLLOWING)`` is the plan Spark executes well: grams hash
-    once, one shuffle+sort, O(n) running minima — measured 487s → 2.1s
-    on 500 sf0.01 docs (k=8, w=8), bit-identical output.  Short docs
-    (< w grams) take a single window over whatever grams exist; empty
-    docs keep an empty fingerprint array (outer explode).
+    Why not one expression: a higher-order-function lambda re-evaluates
+    its body per element, and Catalyst inlines single-use aliases, so
+    the naive single-expression form re-ran the normalization + gram
+    build inside the window lambda — O(n²·k) per document (measured:
+    487s for 500 sf0.01 docs).  The r4-r6 fix exploded grams to rows
+    and used ``min() OVER`` (2.1s at sf0.01) — correct, but it paid TWO
+    exchanges (a text-carrying pre-groupBy + the gram-row shuffle), a
+    sort, a window, and a collect_list re-assembly for what is a purely
+    per-document computation.
 
-    The window partitions on a DETERMINISTIC per-document key, not
-    ``id_col`` alone: duplicate ids (dirty crawl) would otherwise
-    interleave two texts' grams in one window frame and merge them into
-    a garbage fingerprint row.  The key is ``(xxhash64(id, text), id)``
-    computed AFTER collapsing exact-duplicate (id, text) rows with a
-    counting groupBy — so (a) a stage retry after a fetch failure
-    regroups identically (``monotonically_increasing_id`` would
-    reassign row ids on recompute and could merge two rows' grams — r4
-    ADVICE), (b) exact-duplicate rows winnow ONCE instead of per copy,
-    and (c) the output still carries one fingerprint row per input row
-    (re-expanded by the stored multiplicity), like the per-row Column
-    form.  The pre-groupBy shuffles text once; that is cheaper than the
-    gram-row shuffle that follows (8 bytes per character vs 1).
+    r7 shape: three STACKED PROJECTIONS — normalize, gram-hash, window
+    minima — each stage materialized as its own column.  Every stage's
+    column is referenced several times by the next stage's expression,
+    so CollapseProject keeps the projections separate (its
+    multi-reference non-cheap-alias rule) and each stage evaluates once
+    per row; the window minima are ``array_min`` over slices of the
+    materialized gram ATTRIBUTE, O(n·w) per document.  ZERO exchanges —
+    the operator is now a pure map (plan: Scan → Project×3, no
+    Exchange) — measured 19.3/18.9s → 5.4/3.1s cold/warm at sf0.1
+    (isolated A/B, 5k docs, k=5/w=4), bit-identical output including
+    empty/short-document edge cases (pinned by the vector + oracle
+    tests).  Duplicate (id, text) rows each produce their own identical
+    output row, exactly like the exploded form's multiplicity
+    re-expansion did.
 
     ``gram_hash``: ``"xxhash64"`` (production default) or ``"md5_60bit"``
     (cross-engine hash, DuckDB-replayable — the gate's
     ``winnowing_fingerprints_md5`` oracle variant; see
     :func:`winnowing_fingerprints_md5_sql`)."""
-    from pyspark.sql.window import Window
+    from mysql_data_quality_spark.operators.dedup import normalized_text_col
 
     if gram_hash == "xxhash64":
         hasher = None
@@ -279,44 +287,18 @@ def winnowing_fingerprints(
     else:
         raise ValueError(f"gram_hash must be xxhash64|md5_60bit: {gram_hash!r}")
 
-    uniq = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .groupBy("doc_id", "_t")
-        .agg(F.count(F.lit(1)).alias("_mult"))
+    norm_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text_col(F.col(text_col)).alias("_wf_norm"),
     )
-    grams = uniq.select(
-        F.xxhash64("doc_id", "_t").alias("_row"),
+    grams_df = norm_df.select(
         "doc_id",
-        "_mult",
-        _winnowing_grams_col(F.col("_t"), k, hasher).alias("_g"),
+        _grams_from_norm(F.col("_wf_norm"), k, hasher).alias("_wf_g"),
     )
-    rows = grams.select(
-        "_row",
+    return grams_df.select(
         "doc_id",
-        "_mult",
-        F.size("_g").alias("_n"),
-        F.posexplode_outer("_g").alias("pos", "h"),
+        _winnowing_mins_col(F.col("_wf_g"), w).alias("fingerprints"),
     )
-    spec = (
-        Window.partitionBy("_row", "doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    mins = rows.withColumn("m", F.min("h").over(spec)).where(
-        (F.col("pos") <= F.col("_n") - w)
-        | ((F.col("_n") < w) & (F.col("pos") == 0))
-        | F.col("pos").isNull()
-    )
-    per_doc = mins.groupBy("_row", "doc_id", "_mult").agg(
-        F.array_sort(F.array_distinct(F.collect_list("m"))).alias(
-            "fingerprints"
-        )
-    )
-    return per_doc.select(
-        "doc_id",
-        "fingerprints",
-        F.explode(F.sequence(F.lit(1), F.col("_mult"))).alias("_i"),
-    ).drop("_i")
 
 
 def _winnowing_fps_cte_sql(
@@ -417,9 +399,19 @@ def fingerprint_duplicate_pairs(
     """
     from pyspark import StorageLevel
 
+    # explode_OUTER + isNotNull, not a plain explode: Catalyst's
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` below a
+    # non-outer explode, substituting the WHOLE winnowing expression into
+    # a Filter where the window-minima lambda re-evaluates the gram
+    # builder per element — the O(n²·k) re-inlining trap, measured as a
+    # multi-minute single-task straggler at sf0.1.  An outer generate
+    # infers no filter; the null rows of fingerprint-less docs are
+    # dropped by a cheap filter on the GENERATED attribute instead
+    # (fingerprint hashes are never null, so the row sets are identical).
     prints = (
         winnowing_fingerprints(df, id_col, text_col, k, w, gram_hash)
-        .select("doc_id", F.explode("fingerprints").alias("fp"))
+        .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
     )
     # prints feeds three arms (hot-fp count + both join sides) — persist
     # so the winnowing window/shuffle runs once, same precedent as

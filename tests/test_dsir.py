@@ -152,6 +152,31 @@ class TestResample:
             dsir.dsir_resample(
                 corpus, target, "doc_id", temperature=0.0
             )
+        with pytest.raises(ValueError, match="hash_family"):
+            dsir.dsir_resample(
+                corpus, target, "doc_id", hash_family="sha1"
+            ).collect()
+
+    def test_hash_families_agree_on_selection_semantics(
+        self, spark, corpus, target
+    ):
+        """r7: production default is xxhash64 (one JVM hash per gram —
+        md5-hex + string-conv measured ~2x the whole stage); the md5
+        family remains for the DuckDB score twin.  The families differ
+        only in bucket collisions (estimator noise), so BOTH must
+        oversample in-domain docs; the md5 path keeps DuckDB score
+        parity via test_score_parity_vs_duckdb."""
+        for fam in ("xxhash64", "md5_60bit"):
+            kept = sorted(
+                r["doc_id"]
+                for r in dsir.dsir_resample(
+                    corpus, target, "doc_id", rate=0.5,
+                    temperature=0.5, hash_family=fam,
+                ).collect()
+            )
+            in_kept = sum(1 for d in kept if d < 12)
+            off_kept = sum(1 for d in kept if d >= 12)
+            assert in_kept > 2 * off_kept, (fam, kept)
 
 
 class TestCliStage:

@@ -54,6 +54,44 @@ class TestPlanQuality:
         # in the tree and once in the detail section)
         assert plan.count("Location: InMemoryFileIndex") == 1
 
+    def test_winnowing_is_pure_map_no_exchange(self, spark):
+        """r7 optimization contract: winnowing fingerprints are a purely
+        per-document computation and the plan must be a pure map — no
+        Exchange, no Window, no Generate (the r4-r6 exploded-window form
+        paid a text-carrying groupBy exchange + a gram-row shuffle+sort
+        for the same bits)."""
+        from mysql_data_quality_spark.operators import textstats
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        plan = _plan(
+            textstats.winnowing_fingerprints(docs, "doc_id", "text")
+        )
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        # the normalization and gram stages must stay materialized as
+        # their own projections: the tokenize/normalize regex appears
+        # exactly once in the plan (per-gram re-inlining is the
+        # O(n²·regex) HOF trap this shape exists to avoid)
+        assert plan.count("regexp_replace") == 1
+
+    def test_shingle_tokenizer_materialized_once(self, spark):
+        """r7 optimization contract: the shingle builder slices a
+        MATERIALIZED token-array column; the split+filter tokenizer
+        pipeline must not be inlined into the per-shingle lambda (the
+        O(tokens²) re-tokenization the r6 plan carried).  The
+        projection computing `_sh_toks` must survive into the physical
+        plan."""
+        from mysql_data_quality_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        plan = _plan(
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=3, num_hashes=16, bands=8,
+                log_drops=False, persist_sigs=False,
+            )
+        )
+        assert "_sh_toks" in plan
+
     def test_full_profile_pipeline_no_exchange(self, spark):
         """--profile full keeps the flagship's plan shape: all 16 rules +
         their Gopher/C4 features are still ONE projection over ONE scan —
