@@ -102,9 +102,21 @@ def main() -> None:
     def _metrics():
         QF.metrics(QF.annotate(pages))
 
+    def _observed():
+        observed, obs = QF.observe_metrics(QF.annotate(pages))
+        noop(observed.select(*QF.DECISION_COLS))
+        assert obs.get["_total"] > 0
+
+    def _stream():
+        sec, nb, sec16 = B._bench_stream_filter(spark, pages)
+        print(f"  stream: {sec} ({nb} batches), fpt16: {sec16}",
+              file=sys.stderr)
+
     lines = {
         "qf_pipeline": lambda: noop(QF.decisions(pages)),
         "qf_metrics": _metrics,
+        "qf_observed": _observed,
+        "stream_filter": _stream,
         "winnowing_fingerprints": lambda: noop(
             textstats.winnowing_fingerprints(docs, "doc_id", "text")
         ),

@@ -768,7 +768,7 @@ def cmd_stream_filter(args) -> int:
             dedup=args.dedup,
             dedup_state=args.state,
             n_state_buckets=args.state_buckets,
-            files_per_trigger=getattr(args, "files_per_trigger", 4),
+            files_per_trigger=getattr(args, "files_per_trigger", 16),
             langid_model=li_model,
             lm=lm,
         )
@@ -1407,10 +1407,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dedup state backend (bloom = constant-size)")
     s.add_argument("--state-buckets", type=int, default=16)
     s.add_argument(
-        "--files-per-trigger", type=int, default=4,
-        help="files per micro-batch; the per-batch floor is fixed "
-        "(~2.3s local: engine+checkpoint, plan analysis, sink commit), "
-        "so size triggers for seconds of compute per batch",
+        "--files-per-trigger", type=int, default=16,
+        help="files per micro-batch (default 16; the per-batch floor is "
+        "fixed — engine+checkpoint, plan analysis, sink commit — so size "
+        "triggers for SECONDS of compute per batch; lower only when "
+        "per-batch latency matters more than throughput)",
     )
     s.add_argument(
         "--langid-model", default=None, metavar="PATH",

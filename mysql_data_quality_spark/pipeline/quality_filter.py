@@ -32,6 +32,86 @@ from mysql_data_quality_spark.core.types import (
 )
 from mysql_data_quality_spark.rules import heuristics, langid, perplexity, pii
 
+#: memoized single-projection select lists for the pure-Column annotate
+#: fast path, keyed by (input columns, text col, claimed-lang col, rules).
+#: Column objects are immutable unresolved expressions, safely reusable
+#: across DataFrames and micro-batches — caching removes both the py4j
+#: expression-construction chatter and all but one analyzer pass per call
+#: (the withColumns chain eagerly analyzed ~6 growing Datasets per
+#: invocation: ~0.9s driver time per call, per micro-batch in streaming).
+_FAST_ANNOTATE_CACHE: dict = {}
+
+
+def _fast_annotate_cols(
+    in_cols: tuple, text_col: str, claimed_lang: str, rules: tuple | None
+) -> list:
+    """Select list for the SECOND level of the fast path (applied over
+    the frame that already materialized ``_toks`` — see
+    ``heuristics.feature_exprs`` for why the token array must be an
+    attribute, not an inlined expression)."""
+    key = (in_cols, text_col, claimed_lang, rules)
+    cached = _FAST_ANNOTATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # Three select levels mirroring the layered chain's materialization
+    # points exactly (each generated column is referenced by later
+    # levels and contains interpreted HOF subtrees, so it must be a
+    # materialized attribute, not a repeated expression): level F
+    # materializes the features over the `_toks` attribute, level H the
+    # hit columns over the feature attributes, level B the decision
+    # columns over the hit attributes.  Generated columns keep the
+    # exact order the layered withColumns chain appends them; an input
+    # column sharing a generated name is replaced in place (withColumns
+    # semantics).
+    feats = heuristics.feature_exprs(text_col, toks=F.col("_toks"))
+    hits = heuristics.hit_cols(text_col, claimed_lang, rules)  # attr refs
+    severities = heuristics.all_rule_severities(rules)
+    drop_names = sorted(
+        n for n, s in severities.items() if s in DROP_SEVERITIES
+    )
+    gen_f: dict[str, Column] = dict(feats)
+    cols_f = [
+        gen_f.pop(c).alias(c) if c in gen_f else F.col(c) for c in in_cols
+    ]
+    f_schema = list(in_cols) + list(gen_f)
+    cols_f += [c.alias(name) for name, c in gen_f.items()]
+
+    gen_h: dict[str, Column] = {f"hit_{n}": c for n, c in hits.items()}
+    cols_h = [
+        gen_h.pop(c).alias(c) if c in gen_h else F.col(c) for c in f_schema
+    ]
+    a_schema = f_schema + list(gen_h)
+    cols_h += [c.alias(name) for name, c in gen_h.items()]
+
+    # level B: keep/drop_reason/rule_hits over hit attribute references
+    href = {n: F.col(f"hit_{n}") for n in hits}
+    any_drop: Column = F.lit(False)
+    for n in drop_names:
+        any_drop = any_drop | href[n]
+    reason_parts = [
+        F.when(href[n], F.lit(n)).otherwise(F.lit(None)) for n in drop_names
+    ]
+    drop_reason = F.array_join(
+        F.filter(F.array(*reason_parts), lambda x: x.isNotNull()), ","
+    )
+    rule_hits = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in sorted(severities)]),
+        F.array(*[href[n] for n in sorted(severities)]),
+    )
+    gen_b: dict[str, Column] = {
+        "keep": ~any_drop,
+        "drop_reason": drop_reason,
+        "rule_hits": rule_hits,
+        "scrubbed_text": pii.scrub_col(F.col(text_col)),
+    }
+    cols_b = [
+        gen_b.pop(c).alias(c) if c in gen_b else F.col(c) for c in a_schema
+    ]
+    cols_b += [c.alias(name) for name, c in gen_b.items()]
+    result = (cols_f, cols_h, cols_b)
+    _FAST_ANNOTATE_CACHE[key] = result
+    return result
+
 
 def annotate(
     pages: DataFrame,
@@ -64,6 +144,28 @@ def annotate(
     the hashed feature space has no SQL oracle twin (the default
     lexicon detector remains the gate-checked path).
     """
+    if not use_arrow_udfs and lm is None and langid_model is None:
+        # Pure-Column fast path: the whole rule plan as TWO stacked
+        # projections (materialized `_toks`, then every generated
+        # column) with memoized select lists — identical schema, rows,
+        # and physical plan shape to the layered chain below; the
+        # difference is ~6 eager analyzer passes + py4j construction
+        # per call collapsing to two analyzer passes, which is what the
+        # streaming micro-batch floor and every bench invocation pay.
+        # UDF-override paths stay layered: inlining a pandas UDF
+        # expression into its several consumers could duplicate the
+        # ArrowEvalPython node.
+        from mysql_data_quality_spark.functions import text as _T
+
+        cols_f, cols_h, cols_b = _fast_annotate_cols(
+            tuple(pages.columns), text_col, claimed_lang, rules
+        )
+        return (
+            pages.select("*", _T.tokens_col(F.col(text_col)).alias("_toks"))
+            .select(*cols_f)
+            .select(*cols_h)
+            .select(*cols_b)
+        )
     df = heuristics.with_features(pages, text_col)
     if use_arrow_udfs:
         df = df.withColumns(
@@ -129,6 +231,56 @@ def annotate(
 
 DECISION_COLS = ("url", "keep", "drop_reason", "scrubbed_text")
 
+_FAST_DECISIONS_CACHE: dict = {}
+
+
+def _fast_decision_cols(
+    text_col: str, claimed_lang: str, rules: tuple | None
+) -> list:
+    """Memoized select list producing EXACTLY the four decision columns:
+    only the drop-severity hit expressions and the features they need
+    enter the tree (the optimizer pruned the full annotate tree to this
+    anyway — building it pre-pruned skips analyzing the other ~half of
+    the expression forest, which is pure per-call driver cost)."""
+    key = (text_col, claimed_lang, rules)
+    cached = _FAST_DECISIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    feats = heuristics.feature_exprs(text_col, toks=F.col("_toks"))
+    hits = heuristics.hit_cols(text_col, claimed_lang, rules, feats=feats)
+    severities = heuristics.all_rule_severities(rules)
+    drop_names = sorted(
+        n for n, s in severities.items() if s in DROP_SEVERITIES
+    )
+    # level A: materialize the drop-rule hits (each is referenced by
+    # BOTH `keep` and `drop_reason` below and contains interpreted HOF
+    # subtrees — as attributes they evaluate once per row) + the scrub;
+    # level B: the 4-column decision contract over those attributes.
+    cols_a = [
+        F.col("url"),
+        pii.scrub_col(F.col(text_col)).alias("scrubbed_text"),
+        *[hits[n].alias(f"hit_{n}") for n in drop_names],
+    ]
+    href = {n: F.col(f"hit_{n}") for n in drop_names}
+    any_drop: Column = F.lit(False)
+    for n in drop_names:
+        any_drop = any_drop | href[n]
+    reason_parts = [
+        F.when(href[n], F.lit(n)).otherwise(F.lit(None)) for n in drop_names
+    ]
+    drop_reason = F.array_join(
+        F.filter(F.array(*reason_parts), lambda x: x.isNotNull()), ","
+    )
+    cols_b = [
+        F.col("url"),
+        (~any_drop).alias("keep"),
+        drop_reason.alias("drop_reason"),
+        F.col("scrubbed_text"),
+    ]
+    result = (cols_a, cols_b)
+    _FAST_DECISIONS_CACHE[key] = result
+    return result
+
 
 def decisions(
     pages: DataFrame,
@@ -137,6 +289,15 @@ def decisions(
     langid_model: dict | None = None,
 ) -> DataFrame:
     """The per-document output contract: url -> keep/drop + scrubbed text."""
+    if not use_arrow_udfs and langid_model is None:
+        from mysql_data_quality_spark.functions import text as _T
+
+        cols_a, cols_b = _fast_decision_cols("text", "lang", rules)
+        return (
+            pages.select("*", _T.tokens_col(F.col("text")).alias("_toks"))
+            .select(*cols_a)
+            .select(*cols_b)
+        )
     return annotate(
         pages,
         use_arrow_udfs=use_arrow_udfs,

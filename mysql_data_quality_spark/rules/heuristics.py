@@ -49,38 +49,65 @@ FEATURE_COLS = (
 )
 
 
-def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add all feature columns in one projection (single scan; the `_toks`
-    intermediate is a named column so Catalyst computes the split once)."""
-    # NOTE on shape: `_toks` is a named column, but Catalyst's
-    # CollapseProject inlines it into every consumer — correctness-neutral
-    # because whole-stage codegen then CSEs the identical split() subtrees.
-    # Do NOT add a second derived token column (e.g. pre-lowered tokens):
-    # measured 2.5x slower, because each distinct derived tree is inlined
-    # and only exact-duplicate subtrees get CSE'd.
+def feature_exprs(
+    text_col: str = "text", toks: Column | None = None
+) -> dict[str, Column]:
+    """All feature expressions keyed by name.
+
+    ``toks`` MUST be an attribute reference to a MATERIALIZED token
+    column (``_toks``) for DataFrame-scale use: ~10 features reference
+    the token array, higher-order functions evaluate interpreted
+    (no whole-stage-codegen subexpression elimination), so an inlined
+    tokenizer expression is re-split once per referencing feature —
+    measured 4x slower over 600k docs.  The multi-referenced non-cheap
+    ``_toks`` alias survives CollapseProject, so the split runs once per
+    row.  (``toks=None`` inlines the tokenizer — only for single-feature
+    expression use.)  Do NOT add a second derived token column (e.g.
+    pre-lowered tokens): measured 2.5x slower, because each distinct
+    derived tree is inlined and only exact-duplicate subtrees get
+    CSE'd."""
     t = F.col(text_col)
-    df = df.withColumn("_toks", T.tokens_col(t))
-    toks = F.col("_toks")
-    return df.withColumns(
-        {
-            "n_words": T.n_words_col(toks),
-            "n_chars": T.n_chars_col(t),
-            "mean_word_len": T.mean_word_len_col(toks),
-            "stop_count": T.stop_count_col(toks),
-            "stop_fraction": T.stop_fraction_col(toks),
-            "distinct_fraction": T.distinct_fraction_col(toks),
-            "symbol_ratio": T.symbol_ratio_col(t, toks),
-            "digit_fraction": T.digit_fraction_col(t),
-            "dup_line_fraction": T.dup_line_fraction_col(t),
-            "dup_paragraph_fraction": T.dup_paragraph_fraction_col(t),
-            "dup_2gram_fraction": T.dup_ngram_fraction_col(toks, 2),
-            "c4_kept_line_fraction": c4.c4_kept_line_fraction_col(t),
-            "has_lorem_ipsum": c4.lorem_ipsum_col(t),
-            "has_curly_brace": c4.curly_brace_col(t),
-            "det_lang": langid.detect_col(toks),
-            "avg_logp": perplexity.avg_logprob_col(toks),
-        }
-    ).drop("_toks")
+    if toks is None:
+        toks = T.tokens_col(t)
+    return {
+        "n_words": T.n_words_col(toks),
+        "n_chars": T.n_chars_col(t),
+        "mean_word_len": T.mean_word_len_col(toks),
+        "stop_count": T.stop_count_col(toks),
+        "stop_fraction": T.stop_fraction_col(toks),
+        "distinct_fraction": T.distinct_fraction_col(toks),
+        "symbol_ratio": T.symbol_ratio_col(t, toks),
+        "digit_fraction": T.digit_fraction_col(t),
+        "dup_line_fraction": T.dup_line_fraction_col(t),
+        "dup_paragraph_fraction": T.dup_paragraph_fraction_col(t),
+        "dup_2gram_fraction": T.dup_ngram_fraction_col(toks, 2),
+        "c4_kept_line_fraction": c4.c4_kept_line_fraction_col(t),
+        "has_lorem_ipsum": c4.lorem_ipsum_col(t),
+        "has_curly_brace": c4.curly_brace_col(t),
+        "det_lang": langid.detect_col(toks),
+        "avg_logp": perplexity.avg_logprob_col(toks),
+    }
+
+
+def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add all feature columns over a materialized ``_toks`` column in
+    exactly TWO Dataset transformations (tokenize, then features — the
+    r6 withColumns chain eagerly analyzed ~4 growing Datasets per call).
+    Matches the ``withColumns`` contract exactly: an input column
+    sharing a feature name (e.g. the documents table's own ``n_chars``)
+    is REPLACED in place; the remaining features append in
+    ``FEATURE_COLS`` order."""
+    feats = feature_exprs(text_col, toks=F.col("_toks"))
+    existing = set(df.columns)
+    cols = [
+        feats[c].alias(c) if c in feats else F.col(c) for c in df.columns
+    ]
+    cols += [
+        feats[n].alias(n) for n in FEATURE_COLS if n not in existing
+    ]
+    return df.select(
+        "*", T.tokens_col(F.col(text_col)).alias("_toks")
+    ).select(*cols)
 
 
 def features_sql(text: str = "text") -> dict[str, str]:
@@ -124,16 +151,24 @@ class HRule:
     value: float | int | str = 0
     enabled: bool = True
 
-    def hit_col(self, claimed_lang_col: str = "lang") -> Column:
+    def hit_col(
+        self, claimed_lang_col: str = "lang", feats: dict | None = None
+    ) -> Column:
+        """``feats`` (name -> Column expression) makes the hit reference
+        the feature EXPRESSION instead of a named column — the
+        single-projection ``annotate`` fast path; omitted, it references
+        the materialized feature column (the layered path)."""
+        ref = (lambda n: feats[n]) if feats is not None else F.col
         if self.name == "lang_mismatch":
-            return (F.col("det_lang") != F.lit(langid.UNDETERMINED)) & (
-                F.col(claimed_lang_col) != F.col("det_lang")
+            det = ref("det_lang")
+            return (det != F.lit(langid.UNDETERMINED)) & (
+                F.col(claimed_lang_col) != det
             )
         if self.name == "mean_word_length":
             lo, hi = self.value  # type: ignore[misc]
-            c = F.col(self.feature)
+            c = ref(self.feature)
             return (c < F.lit(lo)) | (c > F.lit(hi))
-        c = F.col(self.feature)
+        c = ref(self.feature)
         return {
             "<": c < F.lit(self.value),
             ">": c > F.lit(self.value),
@@ -248,12 +283,15 @@ def hit_cols(
     text_col: str = "text",
     claimed_lang: str = "lang",
     rules: tuple[HRule, ...] | None = None,
+    feats: dict | None = None,
 ) -> dict[str, Column]:
-    """All rule-hit Columns (assumes feature columns already present).
-    ``rules`` overrides the default registry — the reference's
-    parameterized-rule surface (ValidationRule.parameters)."""
+    """All rule-hit Columns (assumes feature columns already present —
+    or, with ``feats``, hit expressions built directly over the feature
+    expressions for the single-projection fast path).  ``rules``
+    overrides the default registry — the reference's parameterized-rule
+    surface (ValidationRule.parameters)."""
     hits: dict[str, Column] = {
-        r.name: r.hit_col(claimed_lang)
+        r.name: r.hit_col(claimed_lang, feats)
         for r in (rules or DEFAULT_RULES)
         if r.enabled
     }

@@ -71,6 +71,29 @@ class TestUdfParity:
         for c in a.columns:
             assert (a[c].values == b[c].values).all(), c
 
+    def test_fast_and_layered_annotate_schema_identical(self, spark, pages):
+        """r7: the memoized select-list fast path (pure-Column default)
+        must produce the IDENTICAL schema — names, order, types — as the
+        layered withColumns chain (still used by the UDF-override
+        paths), or downstream name-based consumers (metrics, CLI,
+        streaming) silently diverge between the two."""
+        fast = QF.annotate(pages)
+        layered = QF.annotate(pages, use_arrow_udfs=True)
+        assert [
+            (f.name, f.dataType) for f in fast.schema.fields
+        ] == [(f.name, f.dataType) for f in layered.schema.fields]
+        # and on a frame whose input columns collide with generated
+        # names (documents carries its own n_chars): replace-in-place
+        from pyspark.sql import functions as F
+
+        docs = pages.withColumn("n_chars", F.lit(0).cast("bigint"))
+        fast2 = QF.annotate(docs)
+        layered2 = QF.annotate(docs, use_arrow_udfs=True)
+        assert [f.name for f in fast2.schema.fields] == [
+            f.name for f in layered2.schema.fields
+        ]
+        assert fast2.columns.count("n_chars") == 1
+
 
 class TestDeterminism:
     def test_partitioning_invariance(self, spark, pages):
