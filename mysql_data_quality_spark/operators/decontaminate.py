@@ -39,7 +39,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     per document: negligible at any real eval-set size.  The DuckDB twin
     joins the strings themselves; results agree barring such collisions
     (exact-parity-tested at gate scale)."""
-    from mysql_data_quality_spark.functions.text import ngrams_col, tokens_col
+    from mysql_data_quality_spark.functions.text import tokens_col
 
     # tokens materialized as their own projection column first: ngrams_col
     # references the token array ~n+2 times (the n-1 shifted zip_with views
@@ -52,17 +52,39 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int):
         F.col(id_col).alias("doc_id"),
         tokens_col(F.lower(F.col(text_col))).alias("_dc_toks"),
     )
+    # Gram identity = CHAINED xxhash64 over per-token hashes (hash each
+    # token once, then n-1 zip_with levels of xxhash64(acc, next)) —
+    # NOT xxhash64 of the materialized n-word gram STRING: building the
+    # strings allocates ~n partial-gram strings per final gram through
+    # the concat chain and re-hashes ~9n bytes per gram.  Both sides of
+    # the overlap join use THIS function, so matching is by construction;
+    # the hash family only decides which grams collide (~2^-64/pair
+    # either way, the conservative direction).  The trailing j-1 slots of
+    # each zip_with level see a null right side (xxhash64 skips nulls →
+    # junk values) and are dropped by the final slice, exactly like the
+    # null-propagating concat chain in ngrams_col.
+    th = F.col("_dc_th")
+    nt = F.size(th)
+    g = th
+    for j in range(2, n + 1):
+        shifted = F.slice(th, j, F.greatest(nt - (j - 1), F.lit(0)))
+        g = F.zip_with(g, shifted, lambda a, b: F.xxhash64(a, b))
+    g = F.slice(g, 1, F.greatest(nt - (n - 1), F.lit(0)))
     grams = F.array_distinct(
+        F.when(nt >= n, g).otherwise(F.array().cast("array<bigint>"))
+    )
+    hashed = base.select(
+        "doc_id",
         F.transform(
-            ngrams_col(F.col("_dc_toks"), n), lambda g: F.xxhash64(g)
-        )
+            F.col("_dc_toks"), lambda t: F.xxhash64(t)
+        ).alias("_dc_th"),
     )
     # explode_outer + isNotNull: a plain explode makes Catalyst infer a
     # `size(grams) > 0` filter that re-inlines the token+gram pipeline
     # into a Filter below the Generate (one full extra evaluation per
     # row); outer generates infer nothing, and gram hashes are never
     # null, so filtering the generated attribute is row-identical.
-    return base.select(
+    return hashed.select(
         "doc_id", F.explode_outer(grams).alias("gram")
     ).where(F.col("gram").isNotNull())
 

@@ -68,12 +68,21 @@ def paragraph_drop_lists(
     of its content.  All exchanges carry (id, pos, hash) only."""
     par = F.col("_pd_par")
     key = F.lower(par) if casefold else par
-    inst = corpus.select(
-        F.col(id_col).alias("_pd_id"),
-        F.posexplode(paragraphs_col(F.col(text_col))).alias(
-            "_pd_pos", "_pd_par"
-        ),
-    ).select("_pd_id", "_pd_pos", F.xxhash64(key).alias("_pd_h"))
+    # posexplode_OUTER + isNotNull: a plain posexplode makes Catalyst
+    # infer a size()>0 filter that re-evaluates the whole paragraph
+    # split per row below the Generate; paragraph strings are never
+    # null (trimmed non-empty), so filtering the generated attribute is
+    # row-identical.
+    inst = (
+        corpus.select(
+            F.col(id_col).alias("_pd_id"),
+            F.posexplode_outer(paragraphs_col(F.col(text_col))).alias(
+                "_pd_pos", "_pd_par"
+            ),
+        )
+        .where(F.col("_pd_par").isNotNull())
+        .select("_pd_id", "_pd_pos", F.xxhash64(key).alias("_pd_h"))
+    )
     # Map-side-combining winner election; unique paragraphs (the vast
     # majority) are filtered out before the probe join.
     winners = (

@@ -106,16 +106,27 @@ def top_ngram_stats(
     key is (doc_id, xxhash-sized gram strings).  Docs with < n tokens are
     absent from the output (no grams → no repetition signal).
     """
-    toks = T.tokens_col(F.lower(F.col(text_col)))
+    # tokens materialized as their own projection column: the gram
+    # transform's lambda slices the token array per element, and an
+    # inlined tokenizer expression would re-split the text once per
+    # gram (the O(tokens²) HOF trap — see dedup._shingles)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        T.tokens_col(F.lower(F.col(text_col))).alias("_tg_toks"),
+    )
+    toks = F.col("_tg_toks")
     nt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(nt - n, F.lit(0)))
     grams = F.when(
         nt >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
-    )
+    # explode_outer + isNotNull: avoids the inferred size()>0 filter
+    # that would re-evaluate the gram build per row below the Generate
+    # (gram strings are never null — row-identical)
+    ex = base.select(
+        "doc_id", F.explode_outer(grams).alias("gram")
+    ).where(F.col("gram").isNotNull())
     per_gram = ex.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -105,6 +105,33 @@ class TestDedup:
         assert hinted[0]["dup_count"] == 300
         assert hinted[0]["doc_ids"] == list(range(50))
 
+    def test_simhash_arrow_engine_parity(self, spark, near_dup_docs):
+        """r7: the opt-in Arrow packing engine must be bit-identical to
+        the Column fold, including null/empty/whitespace docs and the
+        bit-63 sign-wrap."""
+        from mysql_data_quality_spark.operators import dedup
+
+        edge = spark.createDataFrame(
+            [(100, None), (101, ""), (102, "   "), (103, "one")],
+            "doc_id: bigint, text: string",
+        )
+        df = near_dup_docs.union(edge)
+        a = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(
+                df, "doc_id", "text", engine="arrow"
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(
+                df, "doc_id", "text", engine="column"
+            ).collect()
+        }
+        assert a == b
+        with pytest.raises(ValueError, match="engine"):
+            dedup.simhash_signatures(df, "doc_id", "text", engine="x")
+
     def test_simhash_matches_r1_spec(self, spark, near_dup_docs):
         """The hash-once/fold-once rewrite must produce BIT-IDENTICAL
         signatures to the r1 per-bit-fold formulation (kept here as the
