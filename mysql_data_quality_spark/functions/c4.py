@@ -85,9 +85,14 @@ def c4_clean_text_sql(text: str) -> str:
     return f"coalesce(array_to_string({c4_kept_lines_sql(text)}, chr(10)), '')"
 
 
-def c4_kept_line_fraction_col(text: Column) -> Column:
-    """kept lines / non-empty lines (0.0 for line-less documents)."""
-    lines = lines_col(text)
+def c4_kept_line_fraction_col(
+    text: Column, lines: Column | None = None
+) -> Column:
+    """kept lines / non-empty lines (0.0 for line-less documents).
+    ``lines`` lets the caller pass a materialized lines column (the
+    split is referenced twice; see text.dup_line_fraction_col)."""
+    if lines is None:
+        lines = lines_col(text)
     n = F.size(lines)
     return F.when(
         n > 0,

@@ -46,15 +46,27 @@ SCRIPTS: tuple[tuple[str, str, str], ...] = (
 
 
 def script_char_count_col(text: Column, script: str) -> Column:
-    """Count of characters of ``script`` (priority-list name) in text."""
+    """Count of characters of ``script`` (priority-list name) in text.
+
+    Every tracked script except Latin lies entirely outside ASCII, so a
+    document whose UTF-8 byte length equals its character count (pure
+    ASCII — two cheap length scans, no regex) provably contains zero
+    such characters: the 9 non-Latin regex passes short-circuit on
+    ASCII-only text, which is the common case in Latin-dominant crawls.
+    Identical counts (vector-pinned incl. the Cyrillic-spoof case)."""
     java_prop = {name: jp for name, jp, _ in SCRIPTS}[script]
     t = F.coalesce(text, F.lit(""))
-    return (
+    counted = (
         F.length(t)
         - F.length(
             F.regexp_replace(t, f"[\\p{{{java_prop}}}]+", "")
         )
     ).cast("bigint")
+    if script == "latin":
+        return counted
+    return F.when(
+        F.octet_length(t) == F.length(t), F.lit(0).cast("bigint")
+    ).otherwise(counted)
 
 
 def script_char_count_sql(text: str, script: str) -> str:

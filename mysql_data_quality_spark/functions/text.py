@@ -229,12 +229,17 @@ def lines_sql(text: str) -> str:
     )
 
 
-def dup_line_fraction_col(text: Column) -> Column:
+def dup_line_fraction_col(text: Column, lines: Column | None = None) -> Column:
     """Fraction of non-empty lines that repeat an earlier line — the Gopher
     duplicate-line repetition signal (boilerplate/nav chrome detector).
     1 - distinct/total in double with fixed op order (cross-engine
-    bit-identical); 0.0 for documents with no non-empty lines."""
-    lines = lines_col(text)
+    bit-identical); 0.0 for documents with no non-empty lines.
+
+    ``lines`` lets the caller pass a MATERIALIZED lines column (the
+    split is referenced twice below and shared with the C4 line rule;
+    an attribute evaluates once per row — see heuristics.feature_exprs)."""
+    if lines is None:
+        lines = lines_col(text)
     n = F.size(lines)
     return F.when(
         n > 0,
@@ -272,11 +277,14 @@ def paragraphs_sql(text: str) -> str:
     )
 
 
-def dup_paragraph_fraction_col(text: Column) -> Column:
+def dup_paragraph_fraction_col(
+    text: Column, paras: Column | None = None
+) -> Column:
     """Fraction of paragraphs that repeat an earlier paragraph — the
     Gopher duplicate-paragraph repetition signal (same shape as
     :func:`dup_line_fraction_col`, one structural level up)."""
-    paras = paragraphs_col(text)
+    if paras is None:
+        paras = paragraphs_col(text)
     n = F.size(paras)
     return F.when(
         n > 0,

@@ -63,7 +63,12 @@ def _fast_annotate_cols(
     # exact order the layered withColumns chain appends them; an input
     # column sharing a generated name is replaced in place (withColumns
     # semantics).
-    feats = heuristics.feature_exprs(text_col, toks=F.col("_toks"))
+    feats = heuristics.feature_exprs(
+        text_col,
+        toks=F.col("_toks"),
+        lines=F.col("_lines"),
+        paras=F.col("_paras"),
+    )
     hits = heuristics.hit_cols(text_col, claimed_lang, rules)  # attr refs
     severities = heuristics.all_rule_severities(rules)
     drop_names = sorted(
@@ -160,8 +165,14 @@ def annotate(
         cols_f, cols_h, cols_b = _fast_annotate_cols(
             tuple(pages.columns), text_col, claimed_lang, rules
         )
+        t = F.col(text_col)
         return (
-            pages.select("*", _T.tokens_col(F.col(text_col)).alias("_toks"))
+            pages.select(
+                "*",
+                _T.tokens_col(t).alias("_toks"),
+                _T.lines_col(t).alias("_lines"),
+                _T.paragraphs_col(t).alias("_paras"),
+            )
             .select(*cols_f)
             .select(*cols_h)
             .select(*cols_b)
@@ -246,7 +257,12 @@ def _fast_decision_cols(
     cached = _FAST_DECISIONS_CACHE.get(key)
     if cached is not None:
         return cached
-    feats = heuristics.feature_exprs(text_col, toks=F.col("_toks"))
+    feats = heuristics.feature_exprs(
+        text_col,
+        toks=F.col("_toks"),
+        lines=F.col("_lines"),
+        paras=F.col("_paras"),
+    )
     hits = heuristics.hit_cols(text_col, claimed_lang, rules, feats=feats)
     severities = heuristics.all_rule_severities(rules)
     drop_names = sorted(
@@ -293,8 +309,14 @@ def decisions(
         from mysql_data_quality_spark.functions import text as _T
 
         cols_a, cols_b = _fast_decision_cols("text", "lang", rules)
+        t = F.col("text")
         return (
-            pages.select("*", _T.tokens_col(F.col("text")).alias("_toks"))
+            pages.select(
+                "*",
+                _T.tokens_col(t).alias("_toks"),
+                _T.lines_col(t).alias("_lines"),
+                _T.paragraphs_col(t).alias("_paras"),
+            )
             .select(*cols_a)
             .select(*cols_b)
         )

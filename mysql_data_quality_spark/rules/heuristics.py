@@ -50,7 +50,10 @@ FEATURE_COLS = (
 
 
 def feature_exprs(
-    text_col: str = "text", toks: Column | None = None
+    text_col: str = "text",
+    toks: Column | None = None,
+    lines: Column | None = None,
+    paras: Column | None = None,
 ) -> dict[str, Column]:
     """All feature expressions keyed by name.
 
@@ -78,10 +81,10 @@ def feature_exprs(
         "distinct_fraction": T.distinct_fraction_col(toks),
         "symbol_ratio": T.symbol_ratio_col(t, toks),
         "digit_fraction": T.digit_fraction_col(t),
-        "dup_line_fraction": T.dup_line_fraction_col(t),
-        "dup_paragraph_fraction": T.dup_paragraph_fraction_col(t),
+        "dup_line_fraction": T.dup_line_fraction_col(t, lines),
+        "dup_paragraph_fraction": T.dup_paragraph_fraction_col(t, paras),
         "dup_2gram_fraction": T.dup_ngram_fraction_col(toks, 2),
-        "c4_kept_line_fraction": c4.c4_kept_line_fraction_col(t),
+        "c4_kept_line_fraction": c4.c4_kept_line_fraction_col(t, lines),
         "has_lorem_ipsum": c4.lorem_ipsum_col(t),
         "has_curly_brace": c4.curly_brace_col(t),
         "det_lang": langid.detect_col(toks),
@@ -97,7 +100,12 @@ def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     sharing a feature name (e.g. the documents table's own ``n_chars``)
     is REPLACED in place; the remaining features append in
     ``FEATURE_COLS`` order."""
-    feats = feature_exprs(text_col, toks=F.col("_toks"))
+    feats = feature_exprs(
+        text_col,
+        toks=F.col("_toks"),
+        lines=F.col("_lines"),
+        paras=F.col("_paras"),
+    )
     existing = set(df.columns)
     cols = [
         feats[c].alias(c) if c in feats else F.col(c) for c in df.columns
@@ -105,8 +113,12 @@ def with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols += [
         feats[n].alias(n) for n in FEATURE_COLS if n not in existing
     ]
+    t = F.col(text_col)
     return df.select(
-        "*", T.tokens_col(F.col(text_col)).alias("_toks")
+        "*",
+        T.tokens_col(t).alias("_toks"),
+        T.lines_col(t).alias("_lines"),
+        T.paragraphs_col(t).alias("_paras"),
     ).select(*cols)
 
 
