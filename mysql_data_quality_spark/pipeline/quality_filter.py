@@ -45,10 +45,10 @@ _FAST_ANNOTATE_CACHE: dict = {}
 def _fast_annotate_cols(
     in_cols: tuple, text_col: str, claimed_lang: str, rules: tuple | None
 ) -> list:
-    """Select list for the SECOND level of the fast path (applied over
-    the frame that already materialized ``_toks`` — see
-    ``heuristics.feature_exprs`` for why the token array must be an
-    attribute, not an inlined expression)."""
+    """Select lists for the three levels of the fast path above the
+    tokenize projection (features, hits, decision columns) — see
+    ``heuristics.feature_exprs`` for why each shared intermediate must
+    be a materialized attribute, not an inlined expression."""
     key = (in_cols, text_col, claimed_lang, rules)
     cached = _FAST_ANNOTATE_CACHE.get(key)
     if cached is not None:
@@ -150,13 +150,15 @@ def annotate(
     lexicon detector remains the gate-checked path).
     """
     if not use_arrow_udfs and lm is None and langid_model is None:
-        # Pure-Column fast path: the whole rule plan as TWO stacked
-        # projections (materialized `_toks`, then every generated
-        # column) with memoized select lists — identical schema, rows,
-        # and physical plan shape to the layered chain below; the
-        # difference is ~6 eager analyzer passes + py4j construction
-        # per call collapsing to two analyzer passes, which is what the
-        # streaming micro-batch floor and every bench invocation pay.
+        # Pure-Column fast path: the whole rule plan as four stacked
+        # projections (tokens/lines/paras, features, hits, decision
+        # columns) with memoized select lists — identical schema, rows,
+        # and physical plan shape to the layered withColumns chain
+        # below; the difference is the chain's eager analyzer passes
+        # over growing intermediate Datasets plus per-call py4j
+        # construction (~0.9s/call) collapsing to ~0.1s, which is what
+        # the streaming micro-batch floor and every bench invocation
+        # pay.
         # UDF-override paths stay layered: inlining a pandas UDF
         # expression into its several consumers could duplicate the
         # ArrowEvalPython node.
